@@ -1,0 +1,186 @@
+"""Headless benchmark front-end: the canonical entry point.
+
+TPU-native equivalent of the reference benchmark main loop
+(reference: kfusion/src/benchmark.cpp:47-190): reads depth frames, runs
+the four pipeline phases with per-phase device-fenced timing, renders the
+diagnostic images at the configured rates, and writes the 14-column TSV
+log consumed by the ATE evaluation (the schema is a compatibility
+contract, reference: benchmark.cpp:120-122 / checkPos.py:41-46).
+
+Two timing modes:
+  * phased (default) — each phase is its own jitted dispatch with a
+    ``block_until_ready`` fence before every timestamp, matching the
+    reference's ``synchroniseDevices()`` per phase (benchmark.cpp:26-39);
+  * fused (``--fused``) — one dispatch per frame (the TPU-native fast
+    path); per-phase columns then report 0 except `computation`.
+
+Usage:  python -m slambench_tpu.frontend.benchmark -i scene.raw -o out.log
+        [same flags as the reference benchmark] [--fused]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slambench_tpu.config import Configuration, parse_args
+from slambench_tpu.io.readers import make_reader
+from slambench_tpu.pipeline import KFusion
+
+HEADER = ("frame\tacquisition\tpreprocessing\ttracking\tintegration"
+          "\traycasting\trendering\tcomputation\ttotal    \tX          "
+          "\tY          \tZ         \ttracked   \tintegrated")
+
+
+def _fence(x):
+    """Block until device work completes (the reference's
+    ``synchroniseDevices``, benchmark.cpp:26-27)."""
+    jax.tree_util.tree_map(
+        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
+        else a, x)
+    return time.monotonic()
+
+
+def run(config: Configuration, fused: bool = False,
+        max_frames: Optional[int] = None, quiet: bool = False) -> dict:
+    """Run the benchmark; returns summary statistics."""
+    logstream = sys.stdout
+    logfile = None
+    if config.log_file:
+        logfile = open(config.log_file, "w")
+        logstream = logfile
+
+    reader = make_reader(config)
+    if reader is None or not reader.camera_open:
+        print("No input found.", file=sys.stderr)
+        config.print_arguments()
+        raise SystemExit(1)
+
+    in_w, in_h = reader.get_input_size()
+    ratio = config.compute_size_ratio
+    W, H = in_w // ratio, in_h // ratio
+    camera = tuple(c / ratio for c in (
+        config.camera if config.camera_overrided else reader.get_k()))
+    init_pose = config.init_pose
+
+    kf = KFusion(
+        computation_size=(W, H),
+        volume_resolution=config.volume_resolution,
+        volume_dimensions=config.volume_size,
+        init_pose=init_pose,
+        pyramid=config.pyramid,
+        camera=camera,
+        mu=config.mu,
+        icp_threshold=config.icp_threshold,
+        backend=config.backend,
+    )
+    state = kf.init_state()
+
+    print(HEADER, file=logstream)
+
+    frame = 0
+    stats = {"frames": 0, "computation": [], "total": []}
+    t0 = time.monotonic()
+    while True:
+        depth = reader.read_next_depth_frame()
+        if depth is None or (max_frames is not None and frame >= max_frames):
+            break
+        depth = jnp.asarray(np.ascontiguousarray(depth))
+
+        # Pose logged at frame start = result of the previous frame
+        # (reference: benchmark.cpp:127-131).
+        xt, yt, zt = kf.get_position(state)
+
+        gates = dict(
+            tracking_on=(frame % config.tracking_rate == 0),
+            integrate_frame=(frame % config.integration_rate == 0),
+            force_integrate=(frame <= 3),
+            raycast_on=(frame > 2),
+        )
+
+        t1 = _fence(depth)
+        if fused:
+            state = kf.compute_frame(state, depth, **gates)
+            t5 = _fence(state)
+            timings = (t1, t1, t1, t1, t5)
+        else:
+            state = kf.preprocessing(state, depth)
+            t2 = _fence(state.scaled_depth0)
+            if gates["tracking_on"]:
+                state = kf.tracking(state)
+            t3 = _fence(state.pose)
+            state = kf.integration(
+                state, integrate_frame=gates["integrate_frame"],
+                force_integrate=gates["force_integrate"])
+            t4 = _fence(state.tsdf)
+            if gates["raycast_on"]:
+                state = kf.raycasting(state)
+            t5 = _fence(state.ref_vertex)
+            timings = (t1, t2, t3, t4, t5)
+
+        # Rendering (reference: benchmark.cpp:153-156).
+        _ = kf.render_depth_image(state)
+        _ = kf.render_track_image(state)
+        if frame % config.rendering_rate == 0:
+            _ = kf.render_volume_image(state)
+        t6 = _fence(_)
+
+        t1_, t2_, t3_, t4_, t5_ = timings
+        tracked = int(bool(state.tracked))
+        integrated = int(bool(state.integrated))
+        print("%d\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f"
+              "\t%.10f\t%.10f\t%.10f\t%d        \t%d"
+              % (frame,
+                 t1_ - t0,            # acquisition
+                 t2_ - t1_,           # preprocessing
+                 t3_ - t2_,           # tracking
+                 t4_ - t3_,           # integration
+                 t5_ - t4_,           # raycasting
+                 t6 - t5_,            # rendering
+                 t5_ - t1_,           # computation
+                 t6 - t0,             # total
+                 xt, yt, zt, tracked, integrated),
+              file=logstream)
+
+        stats["computation"].append(t5_ - t1_)
+        stats["total"].append(t6 - t0)
+        stats["frames"] += 1
+        frame += 1
+        t0 = time.monotonic()
+
+    if config.dump_volume_file:
+        kf.dump_volume(state, config.dump_volume_file)
+
+    if logfile:
+        logfile.close()
+    if not quiet and stats["frames"]:
+        comp = float(np.mean(stats["computation"]))
+        print(f"{stats['frames']} frames, computation mean "
+              f"{comp:.6f} s/frame ({1.0 / comp:.2f} FPS)", file=sys.stderr)
+    stats["state"] = state
+    stats["kfusion"] = kf
+    return stats
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    fused = "--fused" in argv
+    if fused:
+        argv.remove("--fused")
+    config = parse_args(argv)
+    if not config.input_file:
+        print("No input found.", file=sys.stderr)
+        config.print_arguments()
+        return 1
+    run(config, fused=fused)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,159 @@
+"""TSDF volume: fixed-point int16 storage, trilinear interpolation and
+central-difference gradient.
+
+TPU-native equivalent of the reference ``Volume`` struct
+(reference: kfusion/include/commons.h:149-315). Storage is two int16
+arrays ``tsdf[z, y, x]`` (value * 32766, truncated toward zero like the C
+float->short cast) and ``weight[z, y, x]``; voxel (x, y, z) of the
+reference's x-fastest linear layout maps to ``[z, y, x]`` so the memory
+order is identical. ``dim`` (metres) and the grid shape are static.
+
+All samplers clamp indices into range (replicate border), matching the
+reference's ``lower = max(base, 0)`` / ``upper = min(base+1, size-1)``
+(reference: commons.h:198-200) — with the one deliberate fix that indices
+are clamped from above too (the reference reads out of bounds for points
+beyond the +face; rays never legitimately sample there).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slambench_tpu import params
+
+Shape3 = Tuple[int, int, int]   # (sx, sy, sz) — reference size order
+Dim3 = Tuple[float, float, float]
+
+
+def init_volume(resolution: Shape3) -> Tuple[jax.Array, jax.Array]:
+    """Fresh TSDF: value 1.0 (stored 32766), weight 0.
+
+    Reference: cpp/kernels.cpp:147-157 ``initVolumeKernel``.
+    """
+    sx, sy, sz = resolution
+    tsdf = jnp.full((sz, sy, sx), 32766, jnp.int16)
+    weight = jnp.zeros((sz, sy, sx), jnp.int16)
+    return tsdf, weight
+
+
+def pack_tsdf(value: jax.Array) -> jax.Array:
+    """float TSDF in [-1, 1] -> int16, truncating toward zero like the C
+    cast in ``make_short2(d.x * 32766.0f, ...)``
+    (reference: commons.h:178-179)."""
+    return (value * params.TSDF_SCALE).astype(jnp.int16)
+
+
+def voxel_centers_axis(size: int, dim: float) -> jax.Array:
+    """World coordinate of voxel centres along one axis:
+    ``(i + 0.5) * dim / size`` (reference: commons.h:186-189 ``pos``)."""
+    return ((jnp.arange(size, dtype=jnp.float32) + 0.5) * (dim / size))
+
+
+def _vs(tsdf: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
+    """Raw short value at integer voxel coords (already in range).
+
+    Reference: commons.h:172-174 ``vs2`` — returns the stored short as
+    float, without the 1/32766 scale.
+    """
+    sz, sy, sx = tsdf.shape
+    flat = (z * sy + y) * sx + x
+    return jnp.take(tsdf.reshape(-1), flat).astype(jnp.float32)
+
+
+def interp(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
+    """Trilinear TSDF interpolation at world positions ``pos`` ([3, ...]).
+
+    Reference: commons.h:191-213 ``Volume::interp`` — voxel-centre offset
+    of 0.5, border replication, result scaled by 1/32766.
+    """
+    sz, sy, sx = tsdf.shape
+    size = jnp.array([sx, sy, sz], jnp.float32).reshape(3, *([1] * (pos.ndim - 1)))
+    dim_a = jnp.array(dim, jnp.float32).reshape(3, *([1] * (pos.ndim - 1)))
+
+    scaled = pos * size / dim_a - 0.5
+    base = jnp.floor(scaled)
+    factor = scaled - base
+    base = base.astype(jnp.int32)
+
+    limit = jnp.array([sx - 1, sy - 1, sz - 1], jnp.int32).reshape(
+        3, *([1] * (pos.ndim - 1)))
+    lower = jnp.clip(base, 0, limit)
+    upper = jnp.clip(base + 1, 0, limit)
+
+    lx, ly, lz = lower[0], lower[1], lower[2]
+    ux, uy, uz = upper[0], upper[1], upper[2]
+    fx, fy, fz = factor[0], factor[1], factor[2]
+
+    c000 = _vs(tsdf, lx, ly, lz)
+    c100 = _vs(tsdf, ux, ly, lz)
+    c010 = _vs(tsdf, lx, uy, lz)
+    c110 = _vs(tsdf, ux, uy, lz)
+    c001 = _vs(tsdf, lx, ly, uz)
+    c101 = _vs(tsdf, ux, ly, uz)
+    c011 = _vs(tsdf, lx, uy, uz)
+    c111 = _vs(tsdf, ux, uy, uz)
+
+    v = (((c000 * (1 - fx) + c100 * fx) * (1 - fy)
+          + (c010 * (1 - fx) + c110 * fx) * fy) * (1 - fz)
+         + ((c001 * (1 - fx) + c101 * fx) * (1 - fy)
+            + (c011 * (1 - fx) + c111 * fx) * fy) * fz)
+    return v * params.TSDF_INV_SCALE
+
+
+def grad(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
+    """Central-difference TSDF gradient at world positions ``pos``.
+
+    Reference: commons.h:215-301 ``Volume::grad`` — trilinear interpolation
+    of one-voxel central differences, scaled by ``dim/size * 0.5/32766``.
+    """
+    sz, sy, sx = tsdf.shape
+    nd = pos.ndim - 1
+    size = jnp.array([sx, sy, sz], jnp.float32).reshape(3, *([1] * nd))
+    dim_a = jnp.array(dim, jnp.float32).reshape(3, *([1] * nd))
+    limit = jnp.array([sx - 1, sy - 1, sz - 1], jnp.int32).reshape(3, *([1] * nd))
+
+    scaled = pos * size / dim_a - 0.5
+    base = jnp.floor(scaled)
+    factor = scaled - base
+    base = base.astype(jnp.int32)
+
+    ll = jnp.clip(base - 1, 0, limit)   # lower_lower
+    lo = jnp.clip(base, 0, limit)       # lower (= lower_upper)
+    up = jnp.clip(base + 1, 0, limit)   # upper (= upper_lower)
+    uu = jnp.clip(base + 2, 0, limit)   # upper_upper
+
+    fx, fy, fz = factor[0], factor[1], factor[2]
+
+    def trilerp(sample):
+        """Trilinearly blend sample(xsel, ysel, zsel) over the 2^3 corner
+        choices, where sel picks lower (0) / upper (1) per axis."""
+        c000 = sample(0, 0, 0)
+        c100 = sample(1, 0, 0)
+        c010 = sample(0, 1, 0)
+        c110 = sample(1, 1, 0)
+        c001 = sample(0, 0, 1)
+        c101 = sample(1, 0, 1)
+        c011 = sample(0, 1, 1)
+        c111 = sample(1, 1, 1)
+        return (((c000 * (1 - fx) + c100 * fx) * (1 - fy)
+                 + (c010 * (1 - fx) + c110 * fx) * fy) * (1 - fz)
+                + ((c001 * (1 - fx) + c101 * fx) * (1 - fy)
+                   + (c011 * (1 - fx) + c111 * fx) * fy) * fz)
+
+    xs = (lo[0], up[0])
+    ys = (lo[1], up[1])
+    zs = (lo[2], up[2])
+
+    gx = trilerp(lambda i, j, k: _vs(tsdf, (up[0] if i == 0 else uu[0]), ys[j], zs[k])
+                 - _vs(tsdf, (ll[0] if i == 0 else lo[0]), ys[j], zs[k]))
+    gy = trilerp(lambda i, j, k: _vs(tsdf, xs[i], (up[1] if j == 0 else uu[1]), zs[k])
+                 - _vs(tsdf, xs[i], (ll[1] if j == 0 else lo[1]), zs[k]))
+    gz = trilerp(lambda i, j, k: _vs(tsdf, xs[i], ys[j], (up[2] if k == 0 else uu[2]))
+                 - _vs(tsdf, xs[i], ys[j], (ll[2] if k == 0 else lo[2])))
+
+    g = jnp.stack([gx, gy, gz])
+    scale = dim_a / size * (0.5 * params.TSDF_INV_SCALE)
+    return g * scale
