@@ -1,0 +1,122 @@
+"""Headline benchmark: frames/sec/chip at 256^3 TSDF + ATE.
+
+Mirrors the reference's canonical traj2 run (`-s 4.8 -p 0.34,0.5,0.24
+-z 4 -c 2 -r 1 -k 481.2,480,320,240`, reference: README.md:194) on the
+synthetic ground-truth dataset (no network egress for ICL-NUIM here).
+The baseline is the reference's published traj2 computation mean of
+0.043152 s/frame ≈ 23.17 FPS on its CUDA desktop (reference:
+README.md:219, mirrored in BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <fps>, "unit": "frames/s", "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 1.0 / 0.043152   # reference traj2 computation mean
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--volume", type=int, default=256)
+    ap.add_argument("--ratio", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (debug; TPU is the default backend)")
+    ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from slambench_tpu.io.readers import RawDepthReader
+    from slambench_tpu.io.synthetic import generate_dataset
+    from slambench_tpu.pipeline import KFusion
+
+    # Dataset: 640x480 synthetic living room, traj2-like camera + volume.
+    raw = os.path.join(args.dataset, "synth.raw")
+    n_frames = max(args.frames, 8)
+    regen = not os.path.exists(raw)
+    if not regen:
+        from slambench_tpu.io.raw import raw_frame_count
+        regen = raw_frame_count(raw) < n_frames
+    if regen:
+        man = generate_dataset(args.dataset, n_frames=n_frames,
+                               image_size=(640, 480), dim=(4.8, 4.8, 4.8),
+                               amp=0.25, period=60)
+        np.save(os.path.join(args.dataset, "poses.npy"), man["poses"])
+    poses = np.load(os.path.join(args.dataset, "poses.npy"))
+
+    W, H = 640 // args.ratio, 480 // args.ratio
+    camera = tuple(c / args.ratio for c in (481.2, 480.0, 320.0, 240.0))
+    init = (0.34 * 4.8, 0.5 * 4.8, 0.24 * 4.8)
+    kf = KFusion((W, H), (args.volume,) * 3, (4.8, 4.8, 4.8), init,
+                 (10, 5, 4), camera, mu=0.1)
+    state = kf.init_state()
+    rd = RawDepthReader(raw)
+
+    # Preload all frames to device-adjacent host memory (acquisition is
+    # measured separately by the frontend; this benchmark reports compute).
+    frames = []
+    for i in range(n_frames):
+        d = rd.read_next_depth_frame()
+        if d is None:
+            break
+        frames.append(np.ascontiguousarray(d))
+    n_frames = len(frames)
+
+    def gates(frame):
+        return dict(tracking_on=True,
+                    integrate_frame=True,     # -r 1 canonical run
+                    force_integrate=(frame <= 3),
+                    raycast_on=(frame > 2))
+
+    # Warmup: run the first 5 frames (compiles all gate variants).
+    t_compile = time.monotonic()
+    for frame in range(min(5, n_frames)):
+        state = kf.compute_frame(state, jnp.asarray(frames[frame]),
+                                 **gates(frame))
+    jax.block_until_ready(state)
+    t_compile = time.monotonic() - t_compile
+
+    # Timed steady-state run.
+    t0 = time.monotonic()
+    errs = []
+    for frame in range(5, n_frames):
+        state = kf.compute_frame(state, jnp.asarray(frames[frame]),
+                                 **gates(frame))
+        errs.append(np.linalg.norm(
+            np.asarray(state.pose[:3, 3]) - poses[frame, :3, 3]))
+    jax.block_until_ready(state)
+    dt = time.monotonic() - t0
+    fps = (n_frames - 5) / dt
+
+    ate_mean = float(np.mean(errs)) if errs else float("nan")
+    result = {
+        "metric": ("frames/sec/chip at %d^3 TSDF on synthetic traj2-like "
+                   "(640x480, csr %d); ATE (m) vs exact ground truth"
+                   % (args.volume, args.ratio)),
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "ate_mean_m": round(ate_mean, 5),
+        "frames": n_frames - 5,
+        "compile_s": round(t_compile, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,7 @@ def run(config: Configuration, fused: bool = False,
         config.camera if config.camera_overrided else reader.get_k()))
     init_pose = config.init_pose
 
-    kf = KFusion(
+    kf_kwargs = dict(
         computation_size=(W, H),
         volume_resolution=config.volume_resolution,
         volume_dimensions=config.volume_size,
@@ -80,6 +80,13 @@ def run(config: Configuration, fused: bool = False,
         icp_threshold=config.icp_threshold,
         backend=config.backend,
     )
+    if config.mesh:
+        from slambench_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+        from slambench_tpu.parallel.step import ShardedKFusion
+        n = parse_mesh_spec(config.mesh) or None
+        kf = ShardedKFusion(**kf_kwargs, mesh=make_mesh(n))
+    else:
+        kf = KFusion(**kf_kwargs)
     state = kf.init_state()
 
     print(HEADER, file=logstream)
@@ -105,7 +112,14 @@ def run(config: Configuration, fused: bool = False,
         )
 
         t1 = _fence(depth)
-        if fused:
+        if config.mesh:
+            # The sharded pipeline always runs fused (one shard_map step).
+            state = kf.process_frame(state, depth, frame,
+                                     config.tracking_rate,
+                                     config.integration_rate)
+            t5 = _fence(state)
+            timings = (t1, t1, t1, t1, t5)
+        elif fused:
             state = kf.compute_frame(state, depth, **gates)
             t5 = _fence(state)
             timings = (t1, t1, t1, t1, t5)

@@ -90,18 +90,21 @@ def orbit_trajectory(n_frames: int,
                      init_pos: Sequence[float],
                      amp: float = 0.25,
                      yaw_amp: float = 0.12,
-                     pitch_amp: float = 0.05) -> np.ndarray:
+                     pitch_amp: float = 0.05,
+                     period: int = 60) -> np.ndarray:
     """Smooth looping camera trajectory of c2w pose matrices [N, 4, 4].
 
     Starts exactly at ``init_pos`` with identity rotation (matching the
     pipeline's translation-only initial pose, reference: kernels.h:106-109)
     and wanders with small per-frame deltas so frame-to-frame ICP stays in
-    its convergence basin.
+    its convergence basin. The angular rate is fixed by ``period`` (frames
+    per orbit), NOT by ``n_frames`` — per-frame motion must not depend on
+    clip length.
     """
     poses = np.zeros((n_frames, 4, 4), np.float32)
     p0 = np.asarray(init_pos, np.float32)
     for i in range(n_frames):
-        ph = 2.0 * np.pi * i / max(n_frames, 1)
+        ph = 2.0 * np.pi * i / max(period, 1)
         t = p0 + np.array([
             amp * np.sin(ph),
             0.5 * amp * (1 - np.cos(ph)),
@@ -177,6 +180,7 @@ def generate_dataset(out_dir: str,
                      dim: Tuple[float, float, float] = (4.8, 4.8, 4.8),
                      init_pos_factor: Sequence[float] = (0.34, 0.5, 0.24),
                      amp: float = 0.25,
+                     period: int = 60,
                      name: str = "synth") -> dict:
     """Render a full dataset: RAW container + ground-truth file.
 
@@ -190,7 +194,7 @@ def generate_dataset(out_dir: str,
         k = (481.2 * kscale, 480.0 * kscale, (W / 2), (H / 2))
     scene = SyntheticScene(dim=dim)
     init_pos = [f * d for f, d in zip(init_pos_factor, dim)]
-    poses = orbit_trajectory(n_frames, init_pos, amp=amp)
+    poses = orbit_trajectory(n_frames, init_pos, amp=amp, period=period)
 
     raw_path = os.path.join(out_dir, f"{name}.raw")
     gt_path = os.path.join(out_dir, f"{name}.gt.freiburg")

@@ -23,6 +23,95 @@ from slambench_tpu.geometry import get_translation, length3, normalize3
 from slambench_tpu.volume import Dim3, grad, interp
 
 
+def camera_rays(view: jax.Array, image_size: Tuple[int, int]
+                ) -> Tuple[jax.Array, jax.Array]:
+    """(origin [3], unnormalized direction [3, H, W]) of all camera rays:
+    ``direction = rotate(view, (x, y, 1))``
+    (reference: cpp/kernels.cpp:678-679)."""
+    H, W = image_size
+    origin = get_translation(view)
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    y = jnp.arange(H, dtype=jnp.float32)[:, None]
+    direction = jnp.stack([
+        jnp.broadcast_to(view[0, 0] * x + view[0, 1] * y + view[0, 2], (H, W)),
+        jnp.broadcast_to(view[1, 0] * x + view[1, 1] * y + view[1, 2], (H, W)),
+        jnp.broadcast_to(view[2, 0] * x + view[2, 1] * y + view[2, 2], (H, W)),
+    ])
+    return origin, direction
+
+
+def ray_box_clip(origin: jax.Array, direction: jax.Array, dim: Dim3,
+                 near_plane: float, far_plane: float
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Per-ray (tnear, tfar) against the volume AABB [0, dim]
+    (reference: cpp/kernels.cpp:684-700, incl. the reference's
+    fmaxf(fmaxf(x,y), fmaxf(x,z)) reassociation)."""
+    o = origin.reshape(3, 1, 1)
+    dim_a = jnp.array(dim, jnp.float32).reshape(3, 1, 1)
+    inv_r = 1.0 / direction
+    tbot = -inv_r * o
+    ttop = inv_r * (dim_a - o)
+    tmin = jnp.minimum(ttop, tbot)
+    tmax = jnp.maximum(ttop, tbot)
+    largest_tmin = jnp.maximum(jnp.maximum(tmin[0], tmin[1]),
+                               jnp.maximum(tmin[0], tmin[2]))
+    smallest_tmax = jnp.minimum(jnp.minimum(tmax[0], tmax[1]),
+                                jnp.minimum(tmax[0], tmax[2]))
+    tnear = jnp.maximum(largest_tmin, near_plane)
+    tfar = jnp.minimum(smallest_tmax, far_plane)
+    return tnear, tfar
+
+
+def masked_march(sample, tnear: jax.Array, tfar: jax.Array,
+                 step: float, large_step: float, max_iters: int
+                 ) -> jax.Array:
+    """Lockstep adaptive two-speed march to the TSDF zero crossing.
+
+    ``sample(t)`` evaluates the TSDF along each ray at parameter ``t``
+    (arrays of the ray-grid shape). Implements the reference's per-ray
+    loop semantics exactly (reference: cpp/kernels.cpp:702-721): start at
+    ``tnear`` with ``large_step``; entering f <= 0 means "already inside,
+    don't render"; on f_tt < 0 refine ``t + stepsize*f_tt/(f_t - f_tt)``
+    using the pre-update stepsize and previous sample. Returns ``t_hit``
+    (0 where no hit). Rays retire individually; the loop exits when all
+    are done or at ``max_iters``.
+    """
+    active = tnear < tfar
+    f_t0 = sample(tnear)
+    marching = active & (f_t0 > 0)
+
+    zero = jnp.zeros_like(tnear)
+    init = dict(
+        t=tnear,
+        f_t=f_t0,
+        stepsize=jnp.full_like(tnear, large_step),
+        done=~marching,
+        t_hit=zero,
+        iters=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["iters"] < max_iters)
+
+    def body(s):
+        f_tt = sample(s["t"])
+        live = ~s["done"]
+        is_hit = live & (f_tt < 0.0)
+        t_ref = s["t"] + s["stepsize"] * f_tt / (s["f_t"] - f_tt)
+        t_hit = jnp.where(is_hit, t_ref, s["t_hit"])
+
+        cont = live & ~is_hit
+        new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
+        stepsize = jnp.where(cont, new_step, s["stepsize"])
+        f_t = jnp.where(cont, f_tt, s["f_t"])
+        t = jnp.where(cont, s["t"] + new_step, s["t"])
+        done = s["done"] | is_hit | (cont & (t >= tfar))
+        return dict(t=t, f_t=f_t, stepsize=stepsize, done=done,
+                    t_hit=t_hit, iters=s["iters"] + 1)
+
+    return jax.lax.while_loop(cond, body, init)["t_hit"]
+
+
 def raycast(tsdf: jax.Array,
             dim: Dim3,
             view: jax.Array,
@@ -38,78 +127,17 @@ def raycast(tsdf: jax.Array,
     ``(hit_pos [3, H, W], hit_t [H, W])``; ``hit_t > 0`` marks a hit
     (the reference's ``hit.w > 0``).
     """
-    H, W = image_size
-
-    origin = get_translation(view)                     # [3]
-    x = jnp.arange(W, dtype=jnp.float32)[None, :]
-    y = jnp.arange(H, dtype=jnp.float32)[:, None]
-    direction = jnp.stack([
-        jnp.broadcast_to(view[0, 0] * x + view[0, 1] * y + view[0, 2], (H, W)),
-        jnp.broadcast_to(view[1, 0] * x + view[1, 1] * y + view[1, 2], (H, W)),
-        jnp.broadcast_to(view[2, 0] * x + view[2, 1] * y + view[2, 2], (H, W)),
-    ])                                                  # [3, H, W], unnormalized
-
+    origin, direction = camera_rays(view, image_size)
     o = origin.reshape(3, 1, 1)
-    dim_a = jnp.array(dim, jnp.float32).reshape(3, 1, 1)
-
-    # Ray/box clip (reference: cpp/kernels.cpp:684-700).
-    inv_r = 1.0 / direction
-    tbot = -inv_r * o
-    ttop = inv_r * (dim_a - o)
-    tmin = jnp.minimum(ttop, tbot)
-    tmax = jnp.maximum(ttop, tbot)
-    largest_tmin = jnp.maximum(jnp.maximum(tmin[0], tmin[1]),
-                               jnp.maximum(tmin[0], tmin[2]))
-    smallest_tmax = jnp.minimum(jnp.minimum(tmax[0], tmax[1]),
-                                jnp.minimum(tmax[0], tmax[2]))
-    tnear = jnp.maximum(largest_tmin, near_plane)
-    tfar = jnp.minimum(smallest_tmax, far_plane)
-    active = tnear < tfar
+    tnear, tfar = ray_box_clip(origin, direction, dim, near_plane, far_plane)
 
     def sample(t):
         return interp(tsdf, dim, o + direction * t[None])
 
-    f_t0 = sample(tnear)
-    # "if we were already in it, then don't render" (cpp:708).
-    marching = active & (f_t0 > 0)
-
-    zero = jnp.zeros((H, W), jnp.float32)
-    init = dict(
-        t=tnear,
-        f_t=f_t0,
-        stepsize=jnp.full((H, W), large_step, jnp.float32),
-        done=~marching,
-        t_hit=zero,
-        iters=jnp.int32(0),
-    )
-
     # Upper bound: worst case a ray crosses the whole clip range at the
     # fine step (the adaptive march makes typical counts far smaller).
     max_iters = int((far_plane - near_plane) / step) + 2
-
-    def cond(s):
-        return jnp.any(~s["done"]) & (s["iters"] < max_iters)
-
-    def body(s):
-        f_tt = sample(s["t"])
-        live = ~s["done"]
-        is_hit = live & (f_tt < 0.0)
-        # Accurate zero crossing: t + stepsize * f_tt / (f_t - f_tt), with
-        # stepsize/f_t from before this sample (cpp:717-719).
-        t_ref = s["t"] + s["stepsize"] * f_tt / (s["f_t"] - f_tt)
-        t_hit = jnp.where(is_hit, t_ref, s["t_hit"])
-
-        cont = live & ~is_hit
-        new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
-        stepsize = jnp.where(cont, new_step, s["stepsize"])
-        f_t = jnp.where(cont, f_tt, s["f_t"])
-        t = jnp.where(cont, s["t"] + new_step, s["t"])
-        done = s["done"] | is_hit | (cont & (t >= tfar))
-        return dict(t=t, f_t=f_t, stepsize=stepsize, done=done,
-                    t_hit=t_hit, iters=s["iters"] + 1)
-
-    out = jax.lax.while_loop(cond, body, init)
-    t_hit = out["t_hit"]
+    t_hit = masked_march(sample, tnear, tfar, step, large_step, max_iters)
     hit_pos = o + direction * t_hit[None]
     hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
     return hit_pos, t_hit

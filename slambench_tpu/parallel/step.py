@@ -1,0 +1,434 @@
+"""The sharded KinectFusion step: one ``shard_map`` over a 1-D mesh.
+
+Parallel decomposition (the TPU-native answer to BASELINE.json's
+multi-host configs; nothing like this exists in the reference, which is
+single-device — SURVEY.md §2.4):
+
+* **TSDF z-slabs** — ``tsdf``/``weight`` are sharded on their leading
+  (z) axis. Integration is embarrassingly parallel: each device fuses the
+  replicated depth image into its own slab (no communication).
+* **Slab-composite raycast with halo exchange** — every device marches
+  the full ray grid, but each ray only over the t-interval in which it
+  traverses that device's slab (entered one ``large_step`` early so
+  boundary-spanning zero crossings are caught). Two halo bundles of
+  boundary z-planes travel once per frame via ``ppermute``; per-ray hits
+  combine with a ``pmin`` over the mesh and the owning slab contributes
+  the surface normal via masked ``psum``. Total collective traffic per
+  frame: 2 halo bundles + 2 full-image psum/pmin — all ICI.
+* **ICP row-sharding + psum** — tracking pyramids are row-padded to the
+  mesh size; each device associates its row block against the (psum-
+  replicated) reference maps and reduces its partial normal equations;
+  one 32-float ``psum`` per ICP iteration completes the Gram matrix and
+  every device solves the 6x6 system identically (replicated pose, no
+  host round-trip).
+
+Preprocessing is replicated (it is ~1% of frame time; a Pallas row-shard
+is a later optimization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from slambench_tpu import params
+from slambench_tpu.geometry import (
+    get_camera_matrix, get_inverse_camera_matrix, mat4mul, rigid_inverse,
+)
+from slambench_tpu.ops.integrate import integrate
+from slambench_tpu.ops.raycast import camera_rays, masked_march, ray_box_clip
+from slambench_tpu.ops.solve import check_pose, update_pose
+from slambench_tpu.ops.track import reduce_track, track
+from slambench_tpu.ops.vertex import depth2vertex, vertex2normal
+from slambench_tpu.pipeline import KFusion, KFusionState
+from slambench_tpu.geometry import length3, normalize3
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ShardedKFusion(KFusion):
+    """KFusion over a device mesh. Drop-in replacement: same state pytree
+    (tsdf/weight device-sharded), same phase semantics."""
+
+    def __init__(self, *args, mesh: Mesh, **kwargs):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_shards = mesh.devices.size
+        super().__init__(*args, **kwargs)
+
+        sx, sy, sz = self.volume_resolution
+        if sz % self.n_shards != 0:
+            raise ValueError(
+                f"volume z ({sz}) must divide by mesh size ({self.n_shards})")
+        self.slab_z = sz // self.n_shards
+        # Halo: the back-extended march (one large_step) plus the
+        # interp/grad support (2 voxels).
+        vz = self.volume_dimensions[2] / sz
+        self.halo = min(int(math.ceil(0.75 * self.mu / vz)) + 2, self.slab_z)
+
+        self._state_spec = KFusionState(
+            tsdf=P(self.axis), weight=P(self.axis),
+            pose=P(), old_pose=P(), raycast_pose=P(),
+            ref_vertex=P(), ref_normal=P(),
+            float_depth=P(), scaled_depth0=P(),
+            track_result=P(), reduction=P(),
+            tracked=P(), integrated=P(),
+        )
+        self._sharded_step = jax.jit(
+            self._make_sharded_step(), donate_argnums=0,
+            static_argnames=("tracking_on", "integrate_frame",
+                             "force_integrate", "raycast_on"))
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self) -> KFusionState:
+        state = super().init_state()
+        specs = dataclasses.asdict(self._state_spec)
+        shardings = {
+            k: NamedSharding(self.mesh, spec) for k, spec in specs.items()
+        }
+        return KFusionState(**{
+            f.name: jax.device_put(getattr(state, f.name),
+                                   shardings[f.name])
+            for f in dataclasses.fields(state)
+        })
+
+    # ----------------------- per-device building blocks ---------------- #
+
+    def _halo_exchange(self, slab: jax.Array) -> jax.Array:
+        """Extend a [slab_z, Y, X] slab with ``halo`` planes from each
+        neighbour (circular ppermute; edge slabs never index into the
+        wrapped planes because global z is clamped first)."""
+        h = self.halo
+        n = self.n_shards
+        if n == 1:
+            return jnp.concatenate([slab[:h], slab, slab[-h:]], axis=0)
+        up = [(i, (i - 1) % n) for i in range(n)]    # send to smaller index
+        down = [(i, (i + 1) % n) for i in range(n)]
+        top = jax.lax.ppermute(slab[:h], self.axis, down)     # from z-1 side
+        bottom = jax.lax.ppermute(slab[-h:], self.axis, up)   # from z+1 side
+        return jnp.concatenate([top, slab, bottom], axis=0)
+
+    def _slab_interp(self, ext: jax.Array, z0_ext, pos: jax.Array
+                     ) -> jax.Array:
+        """Trilinear interp against an extended slab: global voxel coords
+        (full-volume size), z localized by ``z0_ext``."""
+        sx, sy, sz = self.volume_resolution
+        dim = self.volume_dimensions
+        nd = pos.ndim - 1
+        size = jnp.array([sx, sy, sz], jnp.float32).reshape(3, *([1] * nd))
+        dim_a = jnp.array(dim, jnp.float32).reshape(3, *([1] * nd))
+        scaled = pos * size / dim_a - 0.5
+        base = jnp.floor(scaled)
+        factor = scaled - base
+        base = base.astype(jnp.int32)
+        limit = jnp.array([sx - 1, sy - 1, sz - 1], jnp.int32).reshape(
+            3, *([1] * nd))
+        lower = jnp.clip(base, 0, limit)
+        upper = jnp.clip(base + 1, 0, limit)
+        ext_z = ext.shape[0]
+
+        def local_z(zg):
+            return jnp.clip(zg - z0_ext, 0, ext_z - 1)
+
+        flatW = ext.reshape(-1)
+        sy_, sx_ = ext.shape[1], ext.shape[2]
+
+        def vs(x, y, zg):
+            idx = (local_z(zg) * sy_ + y) * sx_ + x
+            return jnp.take(flatW, idx).astype(jnp.float32)
+
+        lx, ly, lz = lower[0], lower[1], lower[2]
+        ux, uy, uz = upper[0], upper[1], upper[2]
+        fx, fy, fz = factor[0], factor[1], factor[2]
+        v = (((vs(lx, ly, lz) * (1 - fx) + vs(ux, ly, lz) * fx) * (1 - fy)
+              + (vs(lx, uy, lz) * (1 - fx) + vs(ux, uy, lz) * fx) * fy)
+             * (1 - fz)
+             + ((vs(lx, ly, uz) * (1 - fx) + vs(ux, ly, uz) * fx) * (1 - fy)
+                + (vs(lx, uy, uz) * (1 - fx) + vs(ux, uy, uz) * fx) * fy)
+             * fz)
+        return v * params.TSDF_INV_SCALE
+
+    def _slab_raycast(self, tsdf_slab: jax.Array, view: jax.Array
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """Slab-composited raycast; returns replicated (vertex, normal)
+        full-image maps."""
+        H, W = self.H, self.W
+        sx, sy, sz = self.volume_resolution
+        dim = self.volume_dimensions
+        vz = dim[2] / sz
+        idx = jax.lax.axis_index(self.axis)
+        z0 = idx * self.slab_z                       # first global plane
+        z0_ext = z0 - self.halo
+        large_step = 0.75 * self.mu
+
+        ext = self._halo_exchange(tsdf_slab)
+
+        origin, direction = camera_rays(view, (H, W))
+        o = origin.reshape(3, 1, 1)
+        tnear, tfar = ray_box_clip(origin, direction, dim,
+                                   params.NEAR_PLANE, params.FAR_PLANE)
+
+        # Ray ∩ slab z-interval [z0*vz, (z0+slab_z)*vz), entered one
+        # large_step early to catch boundary-spanning crossings.
+        zlo = z0.astype(jnp.float32) * vz
+        zhi = (z0 + self.slab_z).astype(jnp.float32) * vz
+        dz = jnp.where(direction[2] == 0, 1e-20, direction[2])
+        t1 = (zlo - origin[2]) / dz
+        t2 = (zhi - origin[2]) / dz
+        t_enter = jnp.minimum(t1, t2)
+        t_exit = jnp.maximum(t1, t2)
+        my_tnear = jnp.maximum(tnear, t_enter - large_step)
+        my_tfar = jnp.minimum(tfar, t_exit)
+
+        def sample(t):
+            return self._slab_interp(ext, z0_ext, o + direction * t[None])
+
+        # Full-range bound: rays near-parallel to the slab planes keep
+        # their whole [tnear, tfar] interval inside one slab.
+        max_iters = int((params.FAR_PLANE - params.NEAR_PLANE)
+                        / self.step) + 2
+        t_hit_local = masked_march(sample, my_tnear, my_tfar,
+                                   self.step, large_step, max_iters)
+
+        # First hit across slabs.
+        t_inf = jnp.where(t_hit_local > 0, t_hit_local, jnp.inf)
+        t_min = jax.lax.pmin(t_inf, self.axis)
+        t_hit = jnp.where(jnp.isfinite(t_min), t_min, 0.0)
+
+        hit_pos = o + direction * t_hit[None]
+        hit = t_hit > 0
+
+        # Owning slab (by hit z) contributes the gradient normal.
+        hz = hit_pos[2]
+        own = hit & (hz >= zlo) & (hz < zhi)
+        # Top slab owns hits at/above its upper edge; bottom below.
+        own = own | (hit & (idx == self.n_shards - 1) & (hz >= zhi))
+        own = own | (hit & (idx == 0) & (hz < zlo))
+        g = self._slab_grad(ext, z0_ext, hit_pos)
+        g = jnp.where(own[None], g, 0.0)
+        g = jax.lax.psum(g, self.axis)
+
+        glen = length3(g)
+        normal = normalize3(g)
+        invalid = jnp.stack([
+            jnp.full((H, W), params.INVALID, jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((H, W), jnp.float32),
+        ])
+        normal = jnp.where((hit & (glen != 0))[None], normal, invalid)
+        vertex = jnp.where(hit[None], hit_pos, 0.0)
+        return vertex, normal
+
+    def _slab_grad(self, ext: jax.Array, z0_ext, pos: jax.Array
+                   ) -> jax.Array:
+        """Central-difference gradient against an extended slab (same
+        scheme as volume.grad, reference: commons.h:215-301)."""
+        sx, sy, sz = self.volume_resolution
+        dim = self.volume_dimensions
+        nd = pos.ndim - 1
+        size = jnp.array([sx, sy, sz], jnp.float32).reshape(3, *([1] * nd))
+        dim_a = jnp.array(dim, jnp.float32).reshape(3, *([1] * nd))
+        limit = jnp.array([sx - 1, sy - 1, sz - 1], jnp.int32).reshape(
+            3, *([1] * nd))
+        scaled = pos * size / dim_a - 0.5
+        base = jnp.floor(scaled)
+        factor = scaled - base
+        base = base.astype(jnp.int32)
+        ll = jnp.clip(base - 1, 0, limit)
+        lo = jnp.clip(base, 0, limit)
+        up = jnp.clip(base + 1, 0, limit)
+        uu = jnp.clip(base + 2, 0, limit)
+        fx, fy, fz = factor[0], factor[1], factor[2]
+
+        ext_z = ext.shape[0]
+        sy_, sx_ = ext.shape[1], ext.shape[2]
+        flatW = ext.reshape(-1)
+
+        def vs(x, y, zg):
+            zl = jnp.clip(zg - z0_ext, 0, ext_z - 1)
+            return jnp.take(flatW, (zl * sy_ + y) * sx_ + x).astype(
+                jnp.float32)
+
+        def trilerp(sample):
+            c000 = sample(0, 0, 0); c100 = sample(1, 0, 0)
+            c010 = sample(0, 1, 0); c110 = sample(1, 1, 0)
+            c001 = sample(0, 0, 1); c101 = sample(1, 0, 1)
+            c011 = sample(0, 1, 1); c111 = sample(1, 1, 1)
+            return (((c000 * (1 - fx) + c100 * fx) * (1 - fy)
+                     + (c010 * (1 - fx) + c110 * fx) * fy) * (1 - fz)
+                    + ((c001 * (1 - fx) + c101 * fx) * (1 - fy)
+                       + (c011 * (1 - fx) + c111 * fx) * fy) * fz)
+
+        xs = (lo[0], up[0]); ys = (lo[1], up[1]); zs = (lo[2], up[2])
+        gx = trilerp(lambda i, j, k:
+                     vs(up[0] if i == 0 else uu[0], ys[j], zs[k])
+                     - vs(ll[0] if i == 0 else lo[0], ys[j], zs[k]))
+        gy = trilerp(lambda i, j, k:
+                     vs(xs[i], up[1] if j == 0 else uu[1], zs[k])
+                     - vs(xs[i], ll[1] if j == 0 else lo[1], zs[k]))
+        gz = trilerp(lambda i, j, k:
+                     vs(xs[i], ys[j], up[2] if k == 0 else uu[2])
+                     - vs(xs[i], ys[j], ll[2] if k == 0 else lo[2]))
+        g = jnp.stack([gx, gy, gz])
+        return g * (dim_a / size) * (0.5 * params.TSDF_INV_SCALE)
+
+    # --------------------------- sharded step -------------------------- #
+
+    def _make_sharded_step(self):
+        axis = self.axis
+        n = self.n_shards
+
+        def device_step(state: KFusionState, input_depth: jax.Array, *,
+                        tracking_on: bool, integrate_frame: bool,
+                        force_integrate: bool, raycast_on: bool
+                        ) -> KFusionState:
+            # ---- preprocessing (replicated) --------------------------- #
+            state = self._preprocessing(state, input_depth)
+
+            # ---- tracking: row-sharded ICP with psum ------------------ #
+            if tracking_on:
+                state = self._sharded_tracking(state)
+            else:
+                state = dataclasses.replace(state,
+                                            tracked=jnp.asarray(False))
+
+            # ---- integration: slab-local ------------------------------ #
+            pose, ok = check_pose(state.pose, state.old_pose,
+                                  state.reduction, (self.H, self.W))
+            should = (ok & integrate_frame) | force_integrate
+            idx = jax.lax.axis_index(axis)
+
+            def do(args):
+                tsdf, weight = args
+                return integrate(
+                    tsdf, weight, state.float_depth, rigid_inverse(pose),
+                    get_camera_matrix(self._k), self.mu, params.MAX_WEIGHT,
+                    self.volume_dimensions,
+                    z_offset=idx * self.slab_z,
+                    z_total=self.volume_resolution[2])
+
+            tsdf, weight = jax.lax.cond(
+                should, do, lambda a: a, (state.tsdf, state.weight))
+            state = dataclasses.replace(state, pose=pose, tsdf=tsdf,
+                                        weight=weight, integrated=should)
+
+            # ---- raycasting: slab composite --------------------------- #
+            if raycast_on:
+                view = mat4mul(state.pose,
+                               get_inverse_camera_matrix(self._k))
+                vertex, normal = self._slab_raycast(state.tsdf, view)
+                state = dataclasses.replace(
+                    state, raycast_pose=state.pose,
+                    ref_vertex=vertex, ref_normal=normal)
+            return state
+
+        spec = self._state_spec
+        specs_dict = dataclasses.asdict(spec)
+        in_specs = (spec, P())
+        out_specs = spec
+
+        def stepper(state, depth, *, tracking_on, integrate_frame,
+                    force_integrate, raycast_on):
+            fn = functools.partial(
+                device_step, tracking_on=tracking_on,
+                integrate_frame=integrate_frame,
+                force_integrate=force_integrate, raycast_on=raycast_on)
+            return jax.shard_map(
+                fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False)(state, depth)
+
+        return stepper
+
+    def _sharded_tracking(self, state: KFusionState) -> KFusionState:
+        """Coarse-to-fine ICP with the pixel rows of every pyramid level
+        partitioned over the mesh and the normal equations completed by a
+        single [32]-float psum per iteration."""
+        axis = self.axis
+        n = self.n_shards
+        pyr = self._build_pyramid(state.scaled_depth0)
+        verts, norms = [], []
+        for i in range(self._levels):
+            inv_k = get_inverse_camera_matrix(self._k / float(1 << i))
+            v = depth2vertex(pyr[i], inv_k)
+            nm = vertex2normal(v)
+            # Row-pad to the mesh size; padded rows carry INVALID normals
+            # so they reduce to nothing (result -1).
+            h = v.shape[1]
+            hp = _round_up(h, n)
+            if hp != h:
+                v = jnp.pad(v, ((0, 0), (0, hp - h), (0, 0)))
+                nm = jnp.pad(nm, ((0, 0), (0, hp - h), (0, 0)),
+                             constant_values=0.0)
+                marker = jnp.zeros((3, hp - h, nm.shape[2]), nm.dtype
+                                   ).at[0].set(params.INVALID)
+                nm = nm.at[:, h:, :].set(marker)
+            idx = jax.lax.axis_index(axis)
+            blk = hp // n
+            v = jax.lax.dynamic_slice_in_dim(v, idx * blk, blk, axis=1)
+            nm = jax.lax.dynamic_slice_in_dim(nm, idx * blk, blk, axis=1)
+            verts.append(v)
+            norms.append(nm)
+
+        old_pose = state.pose
+        view = mat4mul(get_camera_matrix(self._k),
+                       rigid_inverse(state.raycast_pose))
+        pose = state.pose
+        reduction = state.reduction
+        track_result = state.track_result
+
+        for level in reversed(range(self._levels)):
+            blk_shape = verts[level].shape[1:]
+            max_iters = self.iterations[level]
+
+            def body(carry, _level=level):
+                i, pose_c, _red, _res, _conv = carry
+                data = track(verts[_level], norms[_level],
+                             state.ref_vertex, state.ref_normal,
+                             pose_c, view)
+                red = reduce_track(data)
+                red = jax.lax.psum(red, axis)
+                new_pose, conv = update_pose(pose_c, red,
+                                             self.icp_threshold)
+                return (i + 1, new_pose, red, data["result"], conv)
+
+            def cond(carry, _max=max_iters):
+                i, _p, _r, _res, conv = carry
+                return (i < _max) & ~conv
+
+            init = (jnp.int32(0), pose, reduction,
+                    jnp.zeros(blk_shape, jnp.int32), jnp.asarray(False))
+            _, pose, reduction, level_result, _ = jax.lax.while_loop(
+                cond, body, init)
+            if level == 0:
+                # Reassemble the full-size diagnostic map.
+                full = jax.lax.all_gather(level_result, axis, axis=0,
+                                          tiled=True)
+                track_result = full[: self.H, : self.W]
+
+        pose, tracked = check_pose(pose, old_pose, reduction,
+                                   (self.H, self.W))
+        return dataclasses.replace(
+            state, pose=pose, old_pose=old_pose, reduction=reduction,
+            track_result=track_result, tracked=tracked)
+
+    # --------------------------- frontend ------------------------------ #
+
+    def process_frame(self, state: KFusionState, input_depth, frame: int,
+                      tracking_rate: int = 1, integration_rate: int = 2
+                      ) -> KFusionState:
+        return self._sharded_step(
+            state, jnp.asarray(input_depth),
+            tracking_on=(frame % tracking_rate == 0),
+            integrate_frame=(frame % integration_rate == 0),
+            force_integrate=(frame <= 3),
+            raycast_on=(frame > 2))

