@@ -207,6 +207,44 @@ def se3_exp(x: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=0)
 
 
+def se3_log(T: jax.Array) -> jax.Array:
+    """SE(3) logarithm -> 6-vector [u, w], inverse of ``se3_exp``
+    (TooN convention; used by the pose-graph layer, which has no
+    reference counterpart).
+
+    Rotation log via the trace formula with small-angle Taylor fallback;
+    translation via V^-1 t with V from the exp closed form.
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_theta)
+    theta_sq = theta * theta
+
+    w_skew = 0.5 * jnp.stack([R[2, 1] - R[1, 2],
+                              R[0, 2] - R[2, 0],
+                              R[1, 0] - R[0, 1]])
+    # w = theta / (2 sin theta) * (R - R^T)^vee ; Taylor near 0.
+    small = theta < 1e-5
+    sin_theta = jnp.sin(theta)
+    scale = jnp.where(small,
+                      1.0 + theta_sq / 6.0,
+                      theta / jnp.where(sin_theta == 0, 1.0, sin_theta))
+    w = w_skew * scale
+
+    hw = _hat(w)
+    hw2 = jnp.matmul(hw, hw, precision=jax.lax.Precision.HIGHEST)
+    # V^-1 = I - hw/2 + (1/theta^2)(1 - A/(2B)) hw^2
+    safe_sq = jnp.maximum(theta_sq, 1e-12)
+    A = jnp.sin(theta) / jnp.sqrt(safe_sq)
+    B = (1.0 - jnp.cos(theta)) / safe_sq
+    coef = jnp.where(small, 1.0 / 12.0,
+                     (1.0 - A / (2.0 * jnp.where(B == 0, 1.0, B))) / safe_sq)
+    Vinv = jnp.eye(3, dtype=jnp.float32) - 0.5 * hw + coef * hw2
+    u = jnp.matmul(Vinv, t, precision=jax.lax.Precision.HIGHEST)
+    return jnp.concatenate([u, w])
+
+
 def translation_pose(t: jax.Array) -> jax.Array:
     """Pure-translation Matrix4, the reference's initial pose
     ``toMatrix4(SE3(makeVector(x, y, z, 0, 0, 0)))``

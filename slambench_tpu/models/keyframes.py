@@ -1,0 +1,185 @@
+"""Keyframe selection + pose-graph-corrected KinectFusion driver.
+
+Beyond-reference layer (BASELINE.json config 5). The core KinectFusion
+state machine is untouched (frame-to-model odometry); this wrapper:
+
+* promotes frames to **keyframes** on translation/rotation thresholds,
+  storing pose + a downsampled vertex/normal snapshot,
+* links consecutive keyframes with odometry edges weighted by the ICP
+  residual quality,
+* detects **loop-closure candidates** by pose proximity between
+  non-consecutive keyframes and verifies them by aligning the stored
+  snapshots with a few point-to-plane ICP iterations (the same
+  track/reduce/solve kernels as the tracker),
+* periodically optimizes the pose graph and reports the corrected
+  trajectory (drift removal for long runs; the TSDF itself is not
+  re-deformed — like most keyframe SLAM systems the map correction is
+  applied at export).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slambench_tpu.geometry import (
+    get_camera_matrix, mat4mul, rigid_inverse, se3_log,
+)
+from slambench_tpu.models.posegraph import PoseGraph
+from slambench_tpu.ops.solve import update_pose
+from slambench_tpu.ops.track import track_and_reduce
+from slambench_tpu.pipeline import KFusion, KFusionState
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int                 # pose-graph node id
+    frame: int                 # source frame number
+    pose: np.ndarray           # [4, 4] odometry pose at creation
+    vertex: np.ndarray         # [3, h, w] downsampled vertex map
+    normal: np.ndarray         # [3, h, w] downsampled normal map
+
+
+class KeyframeStore:
+    """Keyframe promotion policy + storage."""
+
+    def __init__(self, trans_threshold: float = 0.15,
+                 rot_threshold: float = 0.15,
+                 downsample: int = 2):
+        self.trans_threshold = trans_threshold
+        self.rot_threshold = rot_threshold
+        self.downsample = downsample
+        self.keyframes: List[Keyframe] = []
+
+    def should_promote(self, pose: np.ndarray) -> bool:
+        if not self.keyframes:
+            return True
+        last = self.keyframes[-1].pose
+        rel = np.linalg.inv(last) @ pose
+        x = np.asarray(se3_log(jnp.asarray(rel, jnp.float32)))
+        return (np.linalg.norm(x[:3]) > self.trans_threshold
+                or np.linalg.norm(x[3:]) > self.rot_threshold)
+
+    def promote(self, frame: int, pose: np.ndarray, vertex: np.ndarray,
+                normal: np.ndarray) -> Keyframe:
+        s = self.downsample
+        kf = Keyframe(index=len(self.keyframes), frame=frame,
+                      pose=np.asarray(pose, np.float32),
+                      vertex=np.asarray(vertex[:, ::s, ::s], np.float32),
+                      normal=np.asarray(normal[:, ::s, ::s], np.float32))
+        self.keyframes.append(kf)
+        return kf
+
+    def loop_candidates(self, kf: Keyframe, min_gap: int = 5,
+                        radius: float = 0.5) -> List[Keyframe]:
+        out = []
+        p = kf.pose[:3, 3]
+        for other in self.keyframes[: max(0, kf.index - min_gap)]:
+            if np.linalg.norm(other.pose[:3, 3] - p) < radius:
+                out.append(other)
+        return out
+
+
+class PoseGraphKFusion:
+    """KFusion + keyframing + pose-graph backend."""
+
+    def __init__(self, kfusion: KFusion,
+                 keyframe_store: Optional[KeyframeStore] = None,
+                 optimize_every: int = 5,
+                 icp_iters: int = 5):
+        self.kf = kfusion
+        self.store = keyframe_store or KeyframeStore()
+        self.graph = PoseGraph()
+        self.optimize_every = optimize_every
+        self.icp_iters = icp_iters
+        self._trajectory: List[np.ndarray] = []
+        self._kf_of_frame: List[int] = []
+
+        camera = jnp.asarray(self.kf.camera, jnp.float32)
+        self._K = get_camera_matrix(camera)
+
+        def align(src_v, src_n, dst_v, dst_n, init_rel):
+            """A few point-to-plane ICP iterations aligning snapshot src
+            into dst's frame; returns (relative pose, residual count)."""
+            view = self._K  # dst camera at identity (its own frame)
+
+            def body(carry, _):
+                rel, _red = carry
+                red, _ = track_and_reduce(src_v, src_n, dst_v, dst_n,
+                                          rel, view)
+                new_rel, _c = update_pose(rel, red, 1e-6)
+                return (new_rel, red), None
+
+            (rel, red), _ = jax.lax.scan(
+                body, (init_rel, jnp.zeros(32)), None,
+                length=self.icp_iters)
+            return rel, red
+
+        self._align = jax.jit(align)
+
+    def process_frame(self, state: KFusionState, depth, frame: int,
+                      tracking_rate: int = 1, integration_rate: int = 2
+                      ) -> KFusionState:
+        state = self.kf.process_frame(state, depth, frame,
+                                      tracking_rate, integration_rate)
+        pose = np.asarray(state.pose)
+        self._trajectory.append(pose)
+
+        if self.store.should_promote(pose) and frame > 3:
+            kf = self.store.promote(frame, pose,
+                                    np.asarray(state.ref_vertex),
+                                    np.asarray(state.ref_normal))
+            node = self.graph.add_pose(pose)
+            assert node == kf.index
+            if kf.index > 0:
+                self.graph.add_odometry_edge(kf.index - 1, kf.index,
+                                             weight=1.0)
+            # Loop closures: verify candidates by snapshot ICP.
+            for cand in self.store.loop_candidates(kf):
+                rel0 = jnp.asarray(
+                    np.linalg.inv(cand.pose) @ kf.pose, jnp.float32)
+                # Transform kf's world-frame snapshot into cand's frame
+                # convention: track() expects src in its own camera frame
+                # — stored maps are world-frame raycast maps, so measure
+                # the relative world correction directly.
+                rel, red = self._align(
+                    jnp.asarray(kf.vertex), jnp.asarray(kf.normal),
+                    jnp.asarray(cand.vertex), jnp.asarray(cand.normal),
+                    jnp.eye(4))
+                count = float(red[28])
+                npix = kf.vertex.shape[1] * kf.vertex.shape[2]
+                if count / npix > 0.3:
+                    # rel corrects kf's world points onto cand's map:
+                    # measured T_cand_kf = inv(P_cand) @ rel @ P_kf.
+                    T_ij = (np.linalg.inv(cand.pose)
+                            @ np.asarray(rel) @ kf.pose)
+                    self.graph.add_edge(cand.index, kf.index, T_ij,
+                                        weight=min(count / npix, 1.0))
+            if (len(self.store.keyframes) % self.optimize_every == 0
+                    and len(self.graph.edges) > 1):
+                self.graph.optimize(n_iters=8)
+        self._kf_of_frame.append(len(self.store.keyframes) - 1)
+        return state
+
+    def corrected_trajectory(self) -> np.ndarray:
+        """Per-frame poses with pose-graph corrections propagated from
+        the owning keyframe (frames between keyframes move rigidly with
+        their predecessor keyframe)."""
+        if not self.store.keyframes:
+            return np.stack(self._trajectory) if self._trajectory else \
+                np.zeros((0, 4, 4), np.float32)
+        opt = [np.asarray(p) for p in self.graph.poses]
+        out = []
+        for frame, pose in enumerate(self._trajectory):
+            k = self._kf_of_frame[frame]
+            if k < 0:
+                out.append(pose)
+                continue
+            kf = self.store.keyframes[k]
+            correction = opt[k] @ np.linalg.inv(kf.pose)
+            out.append(correction @ pose)
+        return np.stack(out)

@@ -40,15 +40,32 @@ def mm2meters(depth_mm: jax.Array, ratio: int) -> jax.Array:
     return sub.astype(jnp.float32) / 1000.0
 
 
-def _uintwrap_clamp(idx: jax.Array, size: int) -> jax.Array:
-    """The reference's uint clamp: ``clamp(uint(x + i), 0u, size - 1)``.
+def _shift_uintwrap(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """``out[y, x] = img[clamp(uint(y+dy), H-1), clamp(uint(x+dx), W-1)]``
+    with the reference's unsigned-wraparound clamp semantics: in C++ a
+    negative ``x + i`` wraps to a huge unsigned value and clamps to
+    ``size - 1`` — so out-of-range-LEFT indices read the RIGHT/BOTTOM edge
+    (reference: cpp/kernels.cpp:181-182 with cutil_math.h uint clamp).
 
-    In C++ a negative ``x + i`` wraps to a huge unsigned value and clamps to
-    ``size - 1`` — so out-of-range-left indices read the RIGHT edge
-    (reference: cpp/kernels.cpp:181-182 with cutil_math.h uint clamp). We
-    reproduce this exactly for buffer-level parity with the oracle.
+    Implemented with static slices + edge broadcasts (no gather): XLA
+    fuses all 25 bilateral taps into one VPU pass over the image.
     """
-    return jnp.where(idx < 0, size - 1, jnp.minimum(idx, size - 1))
+    H, W = img.shape
+
+    def shift1(a, d, size, axis):
+        if d == 0:
+            return a
+        edge = jax.lax.slice_in_dim(a, size - 1, size, axis=axis)
+        if d > 0:   # sample x+d: clamp to the far edge on the right
+            body = jax.lax.slice_in_dim(a, d, size, axis=axis)
+            pad = jnp.concatenate([edge] * d, axis=axis)
+            return jnp.concatenate([body, pad], axis=axis)
+        # d < 0: uint wrap — the first |d| entries read the FAR edge
+        body = jax.lax.slice_in_dim(a, 0, size + d, axis=axis)
+        pad = jnp.concatenate([edge] * (-d), axis=axis)
+        return jnp.concatenate([pad, body], axis=axis)
+
+    return shift1(shift1(img, dx, W, 1), dy, H, 0)
 
 
 def bilateral_filter(depth: jax.Array,
@@ -59,22 +76,16 @@ def bilateral_filter(depth: jax.Array,
 
     Reference: cpp/kernels.cpp:159-198 ``bilateralFilterKernel``. Zero-depth
     pixels pass through as zero; neighbours with non-positive depth are
-    excluded from the window sum.
+    excluded from the window sum. The window is expressed as 25 statically
+    shifted image views so no gather is emitted.
     """
-    H, W = depth.shape
     e_d_squared_2 = e_d * e_d * 2.0
-
-    ys = jnp.arange(H, dtype=jnp.int32)[:, None]
-    xs = jnp.arange(W, dtype=jnp.int32)[None, :]
-
     t = jnp.zeros_like(depth)
     s = jnp.zeros_like(depth)
     center = depth
-    for j in range(-r, r + 1):       # y offset (reference j indexes gaussian[j+r] over y)
-        yi = _uintwrap_clamp(ys + j, H)
+    for j in range(-r, r + 1):       # y offset
         for i in range(-r, r + 1):   # x offset
-            xi = _uintwrap_clamp(xs + i, W)
-            cur = depth[yi, xi]
+            cur = _shift_uintwrap(depth, j, i)
             mod = (cur - center) ** 2
             factor = (gaussian[i + r] * gaussian[j + r]
                       * jnp.exp(-mod / e_d_squared_2))
@@ -99,17 +110,23 @@ def half_sample_robust(depth: jax.Array,
     """
     H, W = depth.shape
     oh, ow = H // 2, W // 2
-    ys = 2 * jnp.arange(oh, dtype=jnp.int32)[:, None]
-    xs = 2 * jnp.arange(ow, dtype=jnp.int32)[None, :]
-    center = depth[ys, xs]
+    center = depth[0:2 * oh:2, 0:2 * ow:2]
 
     t = jnp.zeros((oh, ow), depth.dtype)
     s = jnp.zeros((oh, ow), depth.dtype)
+    # Strided views instead of gathers; for the shipped r=1 the window
+    # offsets {0, 1}^2 never leave the image (H, W even), and for larger
+    # r the clamp is folded into the slice bounds per offset.
     for i in range(-r + 1, r + 1):   # y offset
-        yi = jnp.clip(ys + i, 0, 2 * oh - 1)
         for j in range(-r + 1, r + 1):  # x offset
-            xi = jnp.clip(xs + j, 0, 2 * ow - 1)
-            cur = depth[yi, xi]
+            ys = np.clip(2 * np.arange(oh) + i, 0, 2 * oh - 1)
+            xs = np.clip(2 * np.arange(ow) + j, 0, 2 * ow - 1)
+            if (np.all(np.diff(ys) == 2) and np.all(np.diff(xs) == 2)):
+                cur = jax.lax.slice(depth, (int(ys[0]), int(xs[0])),
+                                    (int(ys[-1]) + 1, int(xs[-1]) + 1),
+                                    (2, 2))
+            else:
+                cur = depth[jnp.asarray(ys)[:, None], jnp.asarray(xs)[None, :]]
             ok = jnp.abs(cur - center) < e_d
             t = t + jnp.where(ok, cur, 0.0)
             s = s + jnp.where(ok, 1.0, 0.0)

@@ -1,0 +1,257 @@
+"""Accelerated raycast: min-mip empty-space skipping + nearest-sample
+marching + trilinear secant refinement.
+
+The oracle march (ops/raycast.py) reproduces the reference's per-sample
+trilinear loop exactly — 8 volume gathers per ray per step. This version
+restructures the work for the TPU's memory system while keeping the hit
+positions accurate to the same trilinear zero crossing:
+
+1. A conservative **min-mip**: the volume min-pooled over overlapping
+   ``(m+1)^3`` windows at stride ``m`` (the +1 overlap bounds all 8
+   corners of any trilinear sample whose base voxel lies in the cell).
+   ``mip >= 0`` proves a whole cell is crossing-free, so the ray jumps to
+   the cell exit with a single 65 KB-table gather — no trilinear sample.
+   Cells are only skipped when provably empty: no surface the reference
+   march would hit can be missed.
+2. In occupied cells the march samples the **nearest** voxel (1 gather
+   instead of 8), stepping with the reference's two-speed schedule
+   (large_step until f < 0.8, then the fine voxel step). A sign change in
+   the nearest-sampled TSDF brackets the trilinear crossing to within a
+   voxel.
+3. The bracket is polished with 3 **false-position iterations on the
+   true trilinear interpolant**, recovering the reference's sub-voxel hit
+   accuracy; normals come from the same central-difference gradient.
+
+Per 240x320 frame this replaces ~1000 volume gathers/ray with ~40-80.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slambench_tpu import params
+from slambench_tpu.geometry import length3, normalize3
+from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
+from slambench_tpu.volume import Dim3, grad, interp
+
+MIP_BLOCK = 8
+
+
+def make_min_mip(tsdf: jax.Array, m: int = MIP_BLOCK) -> jax.Array:
+    """Overlapped min-pool of the raw int16 TSDF: cell (i,j,k) holds the
+    min over voxels [i*m, i*m+m] x ... (inclusive upper edge => +1
+    overlap). Min is separable, so the (m+1)^3 window runs as three 1-D
+    passes — (m+1)*3 compares per cell instead of (m+1)^3.
+    """
+    out = tsdf
+    for axis in range(3):
+        win = [1, 1, 1]
+        stride = [1, 1, 1]
+        pad = [(0, 0), (0, 0), (0, 0)]
+        win[axis] = m + 1
+        stride[axis] = m
+        pad[axis] = (0, m)
+        out = jax.lax.reduce_window(
+            out, jnp.int16(32767), jax.lax.min,
+            window_dimensions=tuple(win),
+            window_strides=tuple(stride),
+            padding=pad)
+    return out
+
+
+def raycast_fast(tsdf: jax.Array,
+                 mip: jax.Array,
+                 dim: Dim3,
+                 view: jax.Array,
+                 image_size: Tuple[int, int],
+                 near_plane: float,
+                 far_plane: float,
+                 step: float,
+                 large_step: float,
+                 m: int = MIP_BLOCK) -> Tuple[jax.Array, jax.Array]:
+    """Accelerated raycast; same contract as ops.raycast.raycast."""
+    H, W = image_size
+    sz, sy, sx = tsdf.shape
+    origin, direction = camera_rays(view, image_size)
+    o = origin.reshape(3, 1, 1)
+    tnear, tfar = ray_box_clip(origin, direction, dim, near_plane, far_plane)
+
+    voxel = jnp.array([dim[0] / sx, dim[1] / sy, dim[2] / sz],
+                      jnp.float32).reshape(3, 1, 1)
+    flat_vol = tsdf.reshape(-1)
+    flat_mip = mip.reshape(-1)
+    mzb, myb, mxb = mip.shape
+
+    limit = jnp.array([sx - 1, sy - 1, sz - 1],
+                      jnp.int32).reshape(3, 1, 1)
+
+    def voxel_idx(pos):
+        """Nearest (containing) voxel index per axis, clamped."""
+        return jnp.clip((pos / voxel).astype(jnp.int32), 0, limit)
+
+    def nearest(pos):
+        idx = voxel_idx(pos)
+        flat = (idx[2] * sy + idx[1]) * sx + idx[0]
+        return jnp.take(flat_vol, flat).astype(jnp.float32) \
+            * params.TSDF_INV_SCALE
+
+    def mip_at(pos):
+        idx = voxel_idx(pos)
+        b = idx // m
+        bx = jnp.clip(b[0], 0, mxb - 1)
+        by = jnp.clip(b[1], 0, myb - 1)
+        bz = jnp.clip(b[2], 0, mzb - 1)
+        return jnp.take(flat_mip, (bz * myb + by) * mxb + bx).astype(
+            jnp.float32) * params.TSDF_INV_SCALE
+
+    def cell_exit_t(pos, t):
+        """Ray parameter at which the current mip cell is exited."""
+        idx = voxel_idx(pos)
+        b = (idx // m).astype(jnp.float32)
+        cell_lo = b * (m * voxel)
+        cell_hi = cell_lo + (m * voxel)
+        d = jnp.where(direction == 0, 1e-20, direction)
+        t_axis = jnp.where(d > 0, (cell_hi - pos) / d, (cell_lo - pos) / d)
+        dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
+        return t + jnp.maximum(dt, 0.0) + 0.25 * step
+
+    f_t0 = nearest(o + direction * tnear[None])
+    active = tnear < tfar
+    marching = active & (f_t0 > 0)
+
+    zero = jnp.zeros((H, W), jnp.float32)
+    init = dict(
+        t=tnear,
+        t_prev=tnear,
+        f_prev=f_t0,
+        stepsize=jnp.full((H, W), large_step, jnp.float32),
+        done=~marching,
+        hit=jnp.zeros((H, W), bool),
+        iters=jnp.int32(0),
+    )
+
+    diag = (dim[0] ** 2 + dim[1] ** 2 + dim[2] ** 2) ** 0.5
+    max_iters = int(diag / (m * min(dim) / max(sx, sy, sz))) \
+        + int(3.0 * (0.8 / 0.75) * large_step / step) \
+        + int((far_plane - near_plane) / large_step) + 16
+
+    def cond(s):
+        return jnp.any(~s["done"]) & (s["iters"] < max_iters)
+
+    def body(s):
+        pos = o + direction * s["t"][None]
+        live = ~s["done"]
+
+        mip_val = mip_at(pos)
+        empty = mip_val >= 0.0          # provably no crossing in the cell
+        f_tt = nearest(pos)
+
+        is_hit = live & ~empty & (f_tt < 0.0)
+        hit = s["hit"] | is_hit
+
+        # Empty cell: jump to its exit; occupied: reference stepping.
+        new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
+        t_step = s["t"] + new_step
+        t_skip = jnp.maximum(cell_exit_t(pos, s["t"]), t_step)
+        t_next = jnp.where(empty, t_skip, t_step)
+
+        cont = live & ~is_hit
+        stepsize = jnp.where(cont & ~empty, new_step, s["stepsize"])
+        f_prev = jnp.where(cont & ~empty, f_tt, s["f_prev"])
+        t_prev = jnp.where(cont & ~empty, s["t"], s["t_prev"])
+        t = jnp.where(cont, t_next, s["t"])
+        done = s["done"] | is_hit | (cont & (t >= tfar))
+        return dict(t=t, t_prev=t_prev, f_prev=f_prev, stepsize=stepsize,
+                    done=done, hit=hit, iters=s["iters"] + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    hit = out["hit"]
+
+    # --- trilinear refinement over the coarse bracket ------------------ #
+    # The nearest-sampled crossing brackets the trilinear crossing only
+    # approximately (grazing rays can disagree by a sample); a short
+    # uniform scan over [t_prev, t + step] re-brackets on the true
+    # trilinear field, then false-position polishes it.
+    def tri(t):
+        return interp(tsdf, dim, o + direction * t[None])
+
+    NSCAN = 6
+    ta = out["t_prev"]
+    tb = out["t"] + step
+    dtm = (tb - ta) / NSCAN
+
+    f0_run = tri(ta)
+    t0 = ta
+    f0 = f0_run
+    t1 = tb
+    f1 = tri(tb)
+    found = jnp.zeros_like(hit)
+    for j in range(NSCAN):
+        tj = ta + dtm * (j + 1.0)
+        fj = tri(tj)
+        cross = ~found & (f0_run > 0) & (fj < 0)
+        t0 = jnp.where(cross, ta + dtm * j, t0)
+        f0 = jnp.where(cross, f0_run, f0)
+        t1 = jnp.where(cross, tj, t1)
+        f1 = jnp.where(cross, fj, f1)
+        found = found | cross
+        f0_run = fj
+
+    ok = found
+
+    def refine(carry, _):
+        t0, f0, t1, f1 = carry
+        denom = f0 - f1
+        tm = t1 + jnp.where(denom == 0, 0.0, (t1 - t0) * f1 / denom)
+        fm = tri(tm)
+        neg = fm < 0
+        t1n = jnp.where(neg, tm, t1)
+        f1n = jnp.where(neg, fm, f1)
+        t0n = jnp.where(neg, t0, tm)
+        f0n = jnp.where(neg, f0, fm)
+        return (t0n, f0n, t1n, f1n), None
+
+    (t0r, f0r, t1r, f1r), _ = jax.lax.scan(refine, (t0, f0, t1, f1),
+                                           None, length=3)
+    denom = f0r - f1r
+    t_ref = t1r + jnp.where(denom == 0, 0.0, (t1r - t0r) * f1r / denom)
+    # No trilinear crossing in the rescan window (rare grazing case):
+    # keep the nearest-sample crossing position.
+    t_hit = jnp.where(ok, t_ref, out["t"])
+    t_hit = jnp.where(hit, t_hit, 0.0)
+
+    hit_pos = o + direction * t_hit[None]
+    hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
+    return hit_pos, t_hit
+
+
+def raycast_fast_maps(tsdf: jax.Array,
+                      mip: jax.Array,
+                      dim: Dim3,
+                      view: jax.Array,
+                      image_size: Tuple[int, int],
+                      near_plane: float = params.NEAR_PLANE,
+                      far_plane: float = params.FAR_PLANE,
+                      step: float = 0.0078125,
+                      large_step: float = 0.075
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Vertex + normal reference maps via the accelerated march
+    (contract of reference: cpp/kernels.cpp:726-757)."""
+    H, W = image_size
+    hit_pos, t_hit = raycast_fast(tsdf, mip, dim, view, image_size,
+                                  near_plane, far_plane, step, large_step)
+    g = grad(tsdf, dim, hit_pos)
+    glen = length3(g)
+    normal = normalize3(g)
+    hit = t_hit > 0
+    invalid = jnp.stack([
+        jnp.full((H, W), params.INVALID, jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+        jnp.zeros((H, W), jnp.float32),
+    ])
+    normal = jnp.where((hit & (glen != 0))[None], normal, invalid)
+    vertex = jnp.where(hit[None], hit_pos, 0.0)
+    return vertex, normal

@@ -76,7 +76,7 @@ class ShardedKFusion(KFusion):
         self.halo = min(int(math.ceil(0.75 * self.mu / vz)) + 2, self.slab_z)
 
         self._state_spec = KFusionState(
-            tsdf=P(self.axis), weight=P(self.axis),
+            tsdf=P(self.axis), weight=P(self.axis), mip=P(),
             pose=P(), old_pose=P(), raycast_pose=P(),
             ref_vertex=P(), ref_normal=P(),
             float_depth=P(), scaled_depth0=P(),

@@ -1,0 +1,71 @@
+"""Parity tests: min-mip accelerated raycast vs the oracle trilinear
+march, and the conservative-skip property of the mip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from slambench_tpu import geometry as G
+from slambench_tpu.ops.raycast import raycast_maps
+from slambench_tpu.ops.raycast_fast import (
+    MIP_BLOCK, make_min_mip, raycast_fast_maps,
+)
+
+
+def _sphere_volume(res=64, dimv=2.0, center=(1.0, 1.0, 1.4), radius=0.3,
+                   mu=0.2):
+    c = np.linspace(0.5 * dimv / res, dimv - 0.5 * dimv / res, res)
+    Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+    d = np.sqrt((X - center[0]) ** 2 + (Y - center[1]) ** 2
+                + (Z - center[2]) ** 2) - radius
+    sdf = np.clip(d / mu, -1, 1).astype(np.float32)
+    return jnp.asarray(np.trunc(sdf * 32766).astype(np.int16))
+
+
+def test_min_mip_is_conservative():
+    tsdf = _sphere_volume()
+    mip = make_min_mip(tsdf)
+    t = np.asarray(tsdf)
+    m = np.asarray(mip)
+    # Every voxel (plus the +1 overlap row) must be >= its cell min.
+    for (bz, by, bx) in [(0, 0, 0), (3, 3, 5), (7, 7, 7), (4, 5, 6)]:
+        blk = t[bz * 8: bz * 8 + 9, by * 8: by * 8 + 9, bx * 8: bx * 8 + 9]
+        assert m[bz, by, bx] == blk.min()
+
+
+def test_fast_matches_oracle_on_sphere():
+    dim = (2.0, 2.0, 2.0)
+    tsdf = _sphere_volume()
+    mip = make_min_mip(tsdf)
+    pose = G.translation_pose([1.0, 1.0, 0.2])
+    k = jnp.array([60.0, 60.0, 16.0, 12.0])
+    view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
+    args = (dim, view, (24, 32), 0.1, 4.0, 2.0 / 64, 0.15)
+    v1, n1 = raycast_maps(tsdf, *args)
+    v2, n2 = raycast_fast_maps(tsdf, mip, *args)
+    v1, n1, v2, n2 = map(np.asarray, (v1, n1, v2, n2))
+    h1 = n1[0] != -2
+    h2 = n2[0] != -2
+    # The fast path may find strictly MORE hits (nearest sampling can
+    # catch crossings the oracle's large_step jumps over) but must not
+    # lose any.
+    assert (h1 & ~h2).sum() <= 2
+    m = h1 & h2
+    diff = np.abs(v1[:, m] - v2[:, m]).max(axis=0)
+    # Bulk agreement at sub-millimetre level; a handful of silhouette-
+    # grazing rays may land on a different-but-valid crossing within a
+    # voxel or two.
+    assert np.percentile(diff, 95) < 0.5 * 2.0 / 64
+    assert diff.max() < 2 * 2.0 / 64
+    assert (np.sum(n1[:, m] * n2[:, m], axis=0) > 0.99).mean() > 0.95
+
+
+def test_fast_no_hits_in_empty_volume():
+    tsdf = jnp.full((64, 64, 64), 32766, jnp.int16)
+    mip = make_min_mip(tsdf)
+    pose = G.translation_pose([1.0, 1.0, 0.2])
+    k = jnp.array([60.0, 60.0, 16.0, 12.0])
+    view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
+    v, n = raycast_fast_maps(tsdf, mip, (2.0,) * 3, view, (16, 16),
+                             0.1, 4.0, 2.0 / 64, 0.15)
+    assert (np.asarray(n[0]) == -2).all()
+    np.testing.assert_allclose(np.asarray(v), 0.0)

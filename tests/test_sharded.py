@@ -42,7 +42,10 @@ def test_shard_count_invariance(dataset):
     init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
     args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
             man["camera"])
-    errs1, s1 = _run(KFusion(*args), man)
+    # The sharded path uses the oracle slab march; compare against the
+    # single-device oracle backend (the fast-mip backend has its own
+    # parity test in test_raycast_fast.py).
+    errs1, s1 = _run(KFusion(*args, backend="jnp"), man)
     errs4, s4 = _run(ShardedKFusion(*args, mesh=make_mesh(4)), man)
     errs8, s8 = _run(ShardedKFusion(*args, mesh=make_mesh(8)), man)
 
