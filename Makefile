@@ -1,0 +1,56 @@
+# Driver harness for the TPU-native SLAM framework.
+#
+# Equivalent of the reference's root Makefile automation
+# (reference: Makefile:20-72): build the native pieces, produce datasets,
+# run the benchmark binary per trajectory, evaluate ATE + kernel timings
+# into resume logs. Trajectory parameters mirror the reference's table
+# (reference: Makefile:2-6); with no network egress, trajectories are
+# synthesized with exact ground truth instead of wget'd from ICL-NUIM.
+#
+#   make native                 # build libslamio.so
+#   make datasets               # synthesize living_room_traj{0,2}
+#   make synth2.log             # run + evaluate trajectory 2
+#   make test                   # unit + e2e suite (CPU mesh)
+#   make bench                  # headline JSON benchmark (real chip)
+
+PYTHON ?= python
+DATA   ?= datasets
+
+# Per-trajectory parameters (reference: Makefile:2-6).
+synth0_PARS = -s 5.0 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+synth2_PARS = -s 4.8 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+
+.PHONY: all native datasets test bench clean
+
+all: native datasets
+
+native:
+	$(MAKE) -C slambench_tpu/native
+
+$(DATA)/%.raw:
+	mkdir -p $(DATA)
+	$(PYTHON) -c "from slambench_tpu.io.synthetic import generate_dataset; \
+	generate_dataset('$(DATA)', n_frames=120, image_size=(640,480), \
+	dim=(4.8,4.8,4.8), amp=0.25, period=60, name='$*')"
+
+datasets: $(DATA)/synth0.raw $(DATA)/synth2.raw
+
+# Run + evaluate pattern rule (reference: Makefile:46-72).
+%.log: $(DATA)/%.raw
+	KERNEL_TIMINGS=1 $(PYTHON) -m slambench_tpu.frontend.benchmark \
+	  $($*_PARS) -i $(DATA)/$*.raw -o $@ 2> $*.kernels.log
+	$(PYTHON) -m slambench_tpu.eval.check_pos $@ \
+	  $(DATA)/$*.gt.freiburg > resume.$@
+	$(PYTHON) -m slambench_tpu.eval.check_kernels $*.kernels.log \
+	  >> resume.$@ || true
+	cat resume.$@
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+bench:
+	$(PYTHON) bench.py
+
+clean:
+	$(MAKE) -C slambench_tpu/native clean
+	rm -f *.log resume.*

@@ -103,8 +103,17 @@ def orbit_trajectory(n_frames: int,
     """
     poses = np.zeros((n_frames, 4, 4), np.float32)
     p0 = np.asarray(init_pos, np.float32)
+    # Ease-in: real handheld sequences (incl. ICL-NUIM) start nearly
+    # static; the pipeline cannot track before its first raycast at
+    # frame 3 (reference: cpp/kernels.cpp:977), so a trajectory moving at
+    # full speed from frame 0 would imprint bootstrap misregistration
+    # into the TSDF that no tracker could remove. Ramp the parameter
+    # speed linearly over the first `ramp` frames.
+    ramp = 10
     for i in range(n_frames):
-        ph = 2.0 * np.pi * i / max(period, 1)
+        # Quadratic ease-in joining the unit-speed line C1-continuously.
+        s = i * i / (2.0 * ramp) if i < ramp else i - ramp * 0.5
+        ph = 2.0 * np.pi * s / max(period, 1)
         t = p0 + np.array([
             amp * np.sin(ph),
             0.5 * amp * (1 - np.cos(ph)),
