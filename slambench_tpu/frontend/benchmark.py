@@ -48,7 +48,8 @@ def _fence(x):
 
 
 def run(config: Configuration, fused: bool = False,
-        max_frames: Optional[int] = None, quiet: bool = False) -> dict:
+        max_frames: Optional[int] = None, quiet: bool = False,
+        stats: bool = False) -> dict:
     """Run the benchmark; returns summary statistics."""
     logstream = sys.stdout
     logfile = None
@@ -87,12 +88,29 @@ def run(config: Configuration, fused: bool = False,
         kf = ShardedKFusion(**kf_kwargs, mesh=make_mesh(n))
     else:
         kf = KFusion(**kf_kwargs)
-    state = kf.init_state()
+
+    start_frame = 0
+    if config.resume_file:
+        from slambench_tpu.utils.checkpoint import load_state
+        state, start_frame = load_state(config.resume_file)
+        print(f"resumed from {config.resume_file} at frame {start_frame}",
+              file=sys.stderr)
+        for _ in range(start_frame):      # advance the reader cursor
+            reader.get_next_frame()
+    else:
+        state = kf.init_state()
+
+    power = None
+    if stats:
+        from slambench_tpu.utils.perfstats import Stats, StatType
+        from slambench_tpu.utils.power import PowerMonitor
+        power = PowerMonitor()
+        power.start()
 
     print(HEADER, file=logstream)
 
-    frame = 0
-    stats = {"frames": 0, "computation": [], "total": []}
+    frame = start_frame
+    summary = {"frames": 0, "computation": [], "total": []}
     t0 = time.monotonic()
     while True:
         depth = reader.read_next_depth_frame()
@@ -162,9 +180,15 @@ def run(config: Configuration, fused: bool = False,
                  xt, yt, zt, tracked, integrated),
               file=logstream)
 
-        stats["computation"].append(t5_ - t1_)
-        stats["total"].append(t6 - t0)
-        stats["frames"] += 1
+        summary["computation"].append(t5_ - t1_)
+        summary["total"].append(t6 - t0)
+        summary["frames"] += 1
+        if power is not None:
+            from slambench_tpu.utils.perfstats import Stats, StatType
+            Stats.sample("frame", frame, StatType.FRAME)
+            Stats.sample("computation", t5_ - t1_, StatType.TIME)
+            Stats.sample("total", t6 - t0, StatType.TIME)
+            power.sample()
         frame += 1
         t0 = time.monotonic()
 
@@ -173,13 +197,22 @@ def run(config: Configuration, fused: bool = False,
 
     if logfile:
         logfile.close()
-    if not quiet and stats["frames"]:
-        comp = float(np.mean(stats["computation"]))
-        print(f"{stats['frames']} frames, computation mean "
+    if config.checkpoint_file:
+        from slambench_tpu.utils.checkpoint import save_state
+        save_state(config.checkpoint_file, state, frame)
+        print(f"checkpoint written to {config.checkpoint_file}",
+              file=sys.stderr)
+    if power is not None:
+        from slambench_tpu.utils.perfstats import Stats
+        Stats.print_all_data(sys.stderr)
+        power.power_stats.print_all_data(sys.stderr)
+    if not quiet and summary["frames"]:
+        comp = float(np.mean(summary["computation"]))
+        print(f"{summary['frames']} frames, computation mean "
               f"{comp:.6f} s/frame ({1.0 / comp:.2f} FPS)", file=sys.stderr)
-    stats["state"] = state
-    stats["kfusion"] = kf
-    return stats
+    summary["state"] = state
+    summary["kfusion"] = kf
+    return summary
 
 
 def main(argv=None):
@@ -187,12 +220,15 @@ def main(argv=None):
     fused = "--fused" in argv
     if fused:
         argv.remove("--fused")
+    stats = "--stats" in argv
+    if stats:
+        argv.remove("--stats")
     config = parse_args(argv)
     if not config.input_file:
         print("No input found.", file=sys.stderr)
         config.print_arguments()
         return 1
-    run(config, fused=fused)
+    run(config, fused=fused, stats=stats)
     return 0
 
 
