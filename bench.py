@@ -103,6 +103,41 @@ def main():
     fps = (n_frames - 5) / dt
 
     ate_mean = float(np.mean(errs)) if errs else float("nan")
+
+    # Device calibration in the same session: effective elementwise HBM
+    # bandwidth and bf16 matmul throughput. The TPU endpoint here is
+    # shared/throttled and varies run to run; these let FPS be
+    # normalized against what the chip actually delivered.
+    x = jnp.zeros((64, 1024, 1024), jnp.float32)  # 268 MB
+
+    @jax.jit
+    def bw_probe(x):
+        return jax.lax.fori_loop(0, 4, lambda i, a: a * 1.0000001 + 1e-9, x)
+
+    bw_probe(x).block_until_ready()
+    t0 = time.monotonic()
+    r = bw_probe(x)
+    r.block_until_ready()
+    _ = np.asarray(r[0, 0, 0])
+    dt = time.monotonic() - t0
+    gbps = 4 * 2 * x.nbytes / dt / 1e9
+
+    a = jnp.zeros((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def mm_probe(a):
+        return jax.lax.fori_loop(
+            0, 4, lambda i, m: jnp.dot(
+                m, m, preferred_element_type=jnp.bfloat16) * 1e-3, a)
+
+    mm_probe(a).block_until_ready()
+    t0 = time.monotonic()
+    r = mm_probe(a)
+    r.block_until_ready()
+    _ = np.asarray(r[0, 0])
+    dt = time.monotonic() - t0
+    tflops = 4 * 2 * 4096 ** 3 / dt / 1e12
+
     result = {
         "metric": ("frames/sec/chip at %d^3 TSDF on synthetic traj2-like "
                    "(640x480, csr %d); ATE (m) vs exact ground truth"
@@ -114,6 +149,8 @@ def main():
         "frames": n_frames - 5,
         "compile_s": round(t_compile, 1),
         "backend": jax.default_backend(),
+        "device_eff_gbps": round(gbps, 1),
+        "device_eff_bf16_tflops": round(tflops, 2),
     }
     print(json.dumps(result))
 

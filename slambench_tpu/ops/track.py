@@ -142,14 +142,18 @@ def track_and_reduce(in_vertex: jax.Array,
                      view: jax.Array,
                      dist_threshold: float = params.DIST_THRESHOLD,
                      normal_threshold: float = params.NORMAL_THRESHOLD,
+                     use_pallas: bool = False,
                      ) -> Tuple[jax.Array, TrackData]:
     """Fused track + reduce — one ICP iteration's data term.
 
     Returns (packed 32-vector, track data). Under jit, XLA fuses the
     correspondence math into the Gram contraction so per-pixel J rows never
-    round-trip to HBM (the TPU analogue of the reference's fused
-    CUDA reduce, and the shape the Pallas kernel mirrors).
+    round-trip to HBM. With ``use_pallas`` the reduction runs through the
+    hand-written Pallas MXU kernel instead of the XLA contraction.
     """
     data = track(in_vertex, in_normal, ref_vertex, ref_normal,
                  t_track, view, dist_threshold, normal_threshold)
+    if use_pallas:
+        from slambench_tpu.ops.pallas.reduce import reduce_track_pallas
+        return reduce_track_pallas(data), data
     return reduce_track(data), data

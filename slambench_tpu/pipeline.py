@@ -208,7 +208,8 @@ class KFusion:
                 i, pose_c, _red, _res, _conv = carry
                 red, data = track_and_reduce(
                     verts[_level], norms[_level],
-                    state.ref_vertex, state.ref_normal, pose_c, view)
+                    state.ref_vertex, state.ref_normal, pose_c, view,
+                    use_pallas=(self.backend == "pallas"))
                 new_pose, conv = update_pose(pose_c, red, self.icp_threshold)
                 return (i + 1, new_pose, red, data["result"], conv)
 
