@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from slambench_tpu.config import Configuration, parse_args
 from slambench_tpu.io.readers import make_reader
 from slambench_tpu.pipeline import KFusion
+from slambench_tpu.utils.timers import kernel_timings_enabled
 
 HEADER = ("frame\tacquisition\tpreprocessing\ttracking\tintegration"
           "\traycasting\trendering\tcomputation\ttotal    \tX          "
@@ -155,6 +156,18 @@ def run(config: Configuration, fused: bool = False,
                 state = kf.raycasting(state)
             t5 = _fence(state.ref_vertex)
             timings = (t1, t2, t3, t4, t5)
+            # Per-kernel timing route: with KERNEL_TIMINGS set, emit
+            # 'name duration_ns size' stderr lines in the reference's
+            # TICK/TOCK format (reference: cpp/kernels.cpp:16-37),
+            # consumed by eval/check_kernels (checkKernels.py contract).
+            if kernel_timings_enabled():
+                npix = W * H
+                for name, dt in (("preprocessing", t2 - t1),
+                                 ("track", t3 - t2),
+                                 ("integrate", t4 - t3),
+                                 ("raycast", t5 - t4)):
+                    print(f"{name} {int(dt * 1e9)} {npix}",
+                          file=sys.stderr)
 
         # Rendering (reference: benchmark.cpp:153-156).
         _ = kf.render_depth_image(state)

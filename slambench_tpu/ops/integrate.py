@@ -95,5 +95,5 @@ def integrate(tsdf: jax.Array,
     new_w = jnp.minimum(w + 1.0, max_weight)
 
     tsdf_out = jnp.where(update, pack_tsdf(new_val), tsdf)
-    weight_out = jnp.where(update, new_w.astype(jnp.int16), weight)
+    weight_out = jnp.where(update, new_w.astype(weight.dtype), weight)
     return tsdf_out, weight_out

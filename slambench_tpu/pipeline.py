@@ -60,7 +60,7 @@ class KFusionState:
     superset of the reference's volume dump (reference: cpp:1006-1030).
     """
     tsdf: jax.Array          # int16 [Z, Y, X]
-    weight: jax.Array        # int16 [Z, Y, X]
+    weight: jax.Array        # int8 [Z, Y, X] (maxweight=100 fits exactly)
     mip: jax.Array           # int16 [Z/8, Y/8, X/8] conservative min-mip
     pose: jax.Array          # f32 [4, 4]
     old_pose: jax.Array      # f32 [4, 4]
