@@ -71,13 +71,25 @@ def raycast_fast(tsdf: jax.Array,
                  far_plane: float,
                  step: float,
                  large_step: float,
-                 m: int = MIP_BLOCK) -> Tuple[jax.Array, jax.Array]:
-    """Accelerated raycast; same contract as ops.raycast.raycast."""
+                 m: int = MIP_BLOCK,
+                 t_init: jax.Array | None = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Accelerated raycast; same contract as ops.raycast.raycast.
+
+    ``t_init`` (optional, [H, W]) is a per-ray lower bound on the hit
+    distance — the temporal warm start: the previous frame's hit
+    distances min-pooled and shrunk by a pose-motion margin (computed by
+    the caller). Marching starts at ``max(tnear, t_init)``. For a static
+    scene with a correctly-margined bound this skips straight to near
+    the surface.
+    """
     H, W = image_size
     sz, sy, sx = tsdf.shape
     origin, direction = camera_rays(view, image_size)
     o = origin.reshape(3, 1, 1)
     tnear, tfar = ray_box_clip(origin, direction, dim, near_plane, far_plane)
+    if t_init is not None:
+        tnear = jnp.clip(jnp.maximum(tnear, t_init), None, tfar)
 
     voxel = jnp.array([dim[0] / sx, dim[1] / sy, dim[2] / sz],
                       jnp.float32).reshape(3, 1, 1)
@@ -228,6 +240,36 @@ def raycast_fast(tsdf: jax.Array,
     return hit_pos, t_hit
 
 
+def warm_start_bound(prev_t_hit: jax.Array,
+                     pose_delta: jax.Array,
+                     far_plane: float = params.FAR_PLANE,
+                     large_step: float = 0.075,
+                     pool: int = 8) -> jax.Array:
+    """Per-ray hit-distance lower bound from the previous frame.
+
+    ``prev_t_hit`` is the last raycast's t map (0 = miss); ``pose_delta``
+    = ``inv(prev_pose) @ pose``. Misses and pixels near misses get no
+    bound (0). The bound is the 8x8-neighbourhood min (covering pixel
+    reassociation under small rotations) minus a rigid-motion margin
+    ``|t| + |angle| * far + 2*large_step`` — conservative for any static
+    scene."""
+    trans = jnp.linalg.norm(pose_delta[:3, 3])
+    # Rotation angle bound from the trace.
+    cos_a = jnp.clip((jnp.trace(pose_delta[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+    angle = jnp.arccos(cos_a)
+    margin = trans + angle * far_plane + 2.0 * large_step
+
+    guarded = jnp.where(prev_t_hit > 0, prev_t_hit, 0.0)
+    pooled = -jax.lax.reduce_window(
+        -guarded, -jnp.inf, jax.lax.max,
+        window_dimensions=(pool, pool), window_strides=(pool, pool),
+        padding="VALID")
+    H, W = prev_t_hit.shape
+    up = jnp.repeat(jnp.repeat(pooled, pool, axis=0), pool, axis=1)
+    up = up[:H, :W]
+    return jnp.maximum(up - margin, 0.0)
+
+
 def raycast_fast_maps(tsdf: jax.Array,
                       mip: jax.Array,
                       dim: Dim3,
@@ -236,13 +278,16 @@ def raycast_fast_maps(tsdf: jax.Array,
                       near_plane: float = params.NEAR_PLANE,
                       far_plane: float = params.FAR_PLANE,
                       step: float = 0.0078125,
-                      large_step: float = 0.075
-                      ) -> Tuple[jax.Array, jax.Array]:
-    """Vertex + normal reference maps via the accelerated march
-    (contract of reference: cpp/kernels.cpp:726-757)."""
+                      large_step: float = 0.075,
+                      t_init: jax.Array | None = None
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Vertex + normal reference maps (+ the hit-distance map for the
+    next frame's warm start); contract of reference:
+    cpp/kernels.cpp:726-757."""
     H, W = image_size
     hit_pos, t_hit = raycast_fast(tsdf, mip, dim, view, image_size,
-                                  near_plane, far_plane, step, large_step)
+                                  near_plane, far_plane, step, large_step,
+                                  t_init=t_init)
     g = grad(tsdf, dim, hit_pos)
     glen = length3(g)
     normal = normalize3(g)
@@ -254,4 +299,4 @@ def raycast_fast_maps(tsdf: jax.Array,
     ])
     normal = jnp.where((hit & (glen != 0))[None], normal, invalid)
     vertex = jnp.where(hit[None], hit_pos, 0.0)
-    return vertex, normal
+    return vertex, normal, t_hit

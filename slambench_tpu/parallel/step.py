@@ -77,6 +77,7 @@ class ShardedKFusion(KFusion):
 
         self._state_spec = KFusionState(
             tsdf=P(self.axis), weight=P(self.axis), mip=P(),
+            prev_t_hit=P(),
             pose=P(), old_pose=P(), raycast_pose=P(),
             ref_vertex=P(), ref_normal=P(),
             float_depth=P(), scaled_depth0=P(),

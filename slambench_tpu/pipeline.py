@@ -42,7 +42,9 @@ from slambench_tpu.ops.preprocess import (
     bilateral_filter, half_sample_robust, make_gaussian, mm2meters,
 )
 from slambench_tpu.ops.raycast import raycast_maps
-from slambench_tpu.ops.raycast_fast import make_min_mip, raycast_fast_maps
+from slambench_tpu.ops.raycast_fast import (
+    make_min_mip, raycast_fast_maps, warm_start_bound,
+)
 from slambench_tpu.ops.render import render_depth, render_track, render_volume
 from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import track_and_reduce
@@ -67,6 +69,7 @@ class KFusionState:
     raycast_pose: jax.Array  # f32 [4, 4]
     ref_vertex: jax.Array    # f32 [3, H, W] raycast vertex map
     ref_normal: jax.Array    # f32 [3, H, W] raycast normal map
+    prev_t_hit: jax.Array    # f32 [H, W] last raycast hit distances
     float_depth: jax.Array   # f32 [H, W] metres (mm2meters output)
     scaled_depth0: jax.Array  # f32 [H, W] bilateral-filtered depth
     track_result: jax.Array  # i32 [H, W] last ICP result codes
@@ -152,6 +155,7 @@ class KFusion:
             raycast_pose=jnp.asarray(pose.copy()),
             ref_vertex=jnp.asarray(np.zeros((3, H, W), np.float32)),
             ref_normal=jnp.asarray(np.zeros((3, H, W), np.float32)),
+            prev_t_hit=jnp.asarray(np.zeros((H, W), np.float32)),
             float_depth=jnp.asarray(np.zeros((H, W), np.float32)),
             scaled_depth0=jnp.asarray(np.zeros((H, W), np.float32)),
             track_result=jnp.asarray(np.zeros((H, W), np.int32)),
@@ -264,14 +268,22 @@ class KFusion:
                 state.tsdf, self.volume_dimensions, view, (self.H, self.W),
                 params.NEAR_PLANE, params.FAR_PLANE,
                 self.step, 0.75 * self.mu)
+            # Oracle backend keeps no warm start; store zeros.
+            t_hit = jnp.zeros((self.H, self.W), jnp.float32)
         else:
-            vertex, normal = raycast_fast_maps(
+            # Temporal warm start: the previous raycast bounds where the
+            # (static) scene surface can be, shrunk by the rigid-motion
+            # margin between the two raycast poses.
+            delta = mat4mul(rigid_inverse(state.raycast_pose), state.pose)
+            t_init = warm_start_bound(
+                state.prev_t_hit, delta, params.FAR_PLANE, 0.75 * self.mu)
+            vertex, normal, t_hit = raycast_fast_maps(
                 state.tsdf, state.mip, self.volume_dimensions, view,
                 (self.H, self.W), params.NEAR_PLANE, params.FAR_PLANE,
-                self.step, 0.75 * self.mu)
+                self.step, 0.75 * self.mu, t_init=t_init)
         return dataclasses.replace(
             state, raycast_pose=state.pose, ref_vertex=vertex,
-            ref_normal=normal)
+            ref_normal=normal, prev_t_hit=t_hit)
 
     def _compute_frame(self, state: KFusionState, input_depth: jax.Array, *,
                        tracking_on: bool, integrate_frame: bool,

@@ -41,7 +41,7 @@ def test_fast_matches_oracle_on_sphere():
     view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
     args = (dim, view, (24, 32), 0.1, 4.0, 2.0 / 64, 0.15)
     v1, n1 = raycast_maps(tsdf, *args)
-    v2, n2 = raycast_fast_maps(tsdf, mip, *args)
+    v2, n2, _t = raycast_fast_maps(tsdf, mip, *args)
     v1, n1, v2, n2 = map(np.asarray, (v1, n1, v2, n2))
     h1 = n1[0] != -2
     h2 = n2[0] != -2
@@ -65,7 +65,7 @@ def test_fast_no_hits_in_empty_volume():
     pose = G.translation_pose([1.0, 1.0, 0.2])
     k = jnp.array([60.0, 60.0, 16.0, 12.0])
     view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
-    v, n = raycast_fast_maps(tsdf, mip, (2.0,) * 3, view, (16, 16),
+    v, n, _t = raycast_fast_maps(tsdf, mip, (2.0,) * 3, view, (16, 16),
                              0.1, 4.0, 2.0 / 64, 0.15)
     assert (np.asarray(n[0]) == -2).all()
     np.testing.assert_allclose(np.asarray(v), 0.0)
