@@ -264,6 +264,52 @@ def make_jtj(tri: jax.Array) -> jax.Array:
     return C + jnp.triu(C, 1).T
 
 
+def sym_eigh6_jacobi(C: jax.Array, sweeps: int = 6):
+    """Eigendecomposition of a symmetric 6x6 by fixed-count cyclic Jacobi
+    rotations — fully unrolled scalar/vector arithmetic that XLA fuses
+    into the surrounding graph.
+
+    ``jnp.linalg.eigh`` on TPU dispatches a heavyweight batched
+    factorization kernel (~ms for a 6x6 — it sits inside the per-ICP-
+    iteration solve, reference: cpp/kernels.cpp:759-775); six Jacobi
+    sweeps reach f32 machine precision for 6x6 symmetric matrices at a
+    few thousand flops. Returns (eigenvalues [6], eigenvectors [6, 6]
+    column-major like eigh).
+    """
+    A = C.astype(jnp.float32)
+    V = jnp.eye(6, dtype=jnp.float32)
+    for _ in range(sweeps):
+        for p in range(5):
+            for q in range(p + 1, 6):
+                app = A[p, p]
+                aqq = A[q, q]
+                apq = A[p, q]
+                # Stable rotation computation; |apq| ~ 0 -> identity.
+                small = jnp.abs(apq) < 1e-30
+                safe_apq = jnp.where(small, 1.0, apq)
+                theta = 0.5 * (aqq - app) / safe_apq
+                sign_t = jnp.where(theta >= 0, 1.0, -1.0)
+                t = sign_t / (jnp.abs(theta)
+                              + jnp.sqrt(theta * theta + 1.0))
+                t = jnp.where(small, 0.0, t)
+                c = 1.0 / jnp.sqrt(t * t + 1.0)
+                s = t * c
+
+                Ap = A[p, :]
+                Aq = A[q, :]
+                A = A.at[p, :].set(c * Ap - s * Aq)
+                A = A.at[q, :].set(s * Ap + c * Aq)
+                Ap = A[:, p]
+                Aq = A[:, q]
+                A = A.at[:, p].set(c * Ap - s * Aq)
+                A = A.at[:, q].set(s * Ap + c * Aq)
+                Vp = V[:, p]
+                Vq = V[:, q]
+                V = V.at[:, p].set(c * Vp - s * Vq)
+                V = V.at[:, q].set(s * Vp + c * Vq)
+    return jnp.diagonal(A), V
+
+
 def solve_normal_equations(vals: jax.Array) -> jax.Array:
     """Solve ``(J^T J) x = J^T e`` from the packed 27-vector.
 
@@ -277,7 +323,7 @@ def solve_normal_equations(vals: jax.Array) -> jax.Array:
     """
     b = vals[:6]
     C = make_jtj(vals[6:27])
-    lam, V = jnp.linalg.eigh(C)
+    lam, V = sym_eigh6_jacobi(C)
     s = jnp.abs(lam)
     smax = jnp.max(s)
     inv = jnp.where(s * 1e6 > smax, 1.0 / jnp.where(s == 0, 1.0, s), 0.0)
