@@ -130,36 +130,59 @@ def raycast_fast(tsdf: jax.Array,
         dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
         return t + jnp.maximum(dt, 0.0) + 0.25 * step
 
-    f_t0 = nearest(o + direction * tnear[None])
-    active = tnear < tfar
-    marching = active & (f_t0 > 0)
+    def nearest_t(t):
+        return nearest(o + direction * t[None])
 
-    zero = jnp.zeros((H, W), jnp.float32)
-    init = dict(
-        t=tnear,
-        t_prev=tnear,
-        f_prev=f_t0,
-        stepsize=jnp.full((H, W), large_step, jnp.float32),
-        done=~marching,
-        hit=jnp.zeros((H, W), bool),
-        iters=jnp.int32(0),
-    )
+    def mip_t(t):
+        return mip_at(o + direction * t[None])
+
+    def exit_t(t):
+        return cell_exit_t(o + direction * t[None], t)
+
+    def tri_t(t):
+        return interp(tsdf, dim, o + direction * t[None])
 
     diag = (dim[0] ** 2 + dim[1] ** 2 + dim[2] ** 2) ** 0.5
     max_iters = int(diag / (m * min(dim) / max(sx, sy, sz))) \
         + int(3.0 * (0.8 / 0.75) * large_step / step) \
         + int((far_plane - near_plane) / large_step) + 16
 
+    out = mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
+                    step, large_step, max_iters)
+    t_hit = rescan_refine(tri_t, out, step)
+
+    hit_pos = o + direction * t_hit[None]
+    hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
+    return hit_pos, t_hit
+
+
+def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
+              step: float, large_step: float, max_iters: int) -> dict:
+    """The mip-skipping nearest-sample march, parameterized over the
+    per-t samplers so the single-volume and sharded-slab raycasts share
+    one implementation. Returns the march state dict (hit, t, t_prev)."""
+    f_t0 = nearest_t(tnear)
+    active = tnear < tfar
+    marching = active & (f_t0 > 0)
+
+    init = dict(
+        t=tnear,
+        t_prev=tnear,
+        f_prev=f_t0,
+        stepsize=jnp.full_like(tnear, large_step),
+        done=~marching,
+        hit=jnp.zeros(tnear.shape, bool),
+        iters=jnp.int32(0),
+    )
+
     def cond(s):
         return jnp.any(~s["done"]) & (s["iters"] < max_iters)
 
     def body(s):
-        pos = o + direction * s["t"][None]
         live = ~s["done"]
-
-        mip_val = mip_at(pos)
+        mip_val = mip_t(s["t"])
         empty = mip_val >= 0.0          # provably no crossing in the cell
-        f_tt = nearest(pos)
+        f_tt = nearest_t(s["t"])
 
         is_hit = live & ~empty & (f_tt < 0.0)
         hit = s["hit"] | is_hit
@@ -167,7 +190,7 @@ def raycast_fast(tsdf: jax.Array,
         # Empty cell: jump to its exit; occupied: reference stepping.
         new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
         t_step = s["t"] + new_step
-        t_skip = jnp.maximum(cell_exit_t(pos, s["t"]), t_step)
+        t_skip = jnp.maximum(exit_t(s["t"]), t_step)
         t_next = jnp.where(empty, t_skip, t_step)
 
         cont = live & ~is_hit
@@ -179,31 +202,27 @@ def raycast_fast(tsdf: jax.Array,
         return dict(t=t, t_prev=t_prev, f_prev=f_prev, stepsize=stepsize,
                     done=done, hit=hit, iters=s["iters"] + 1)
 
-    out = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, init)
+
+
+def rescan_refine(tri_t, out: dict, step: float, nscan: int = 6) -> jax.Array:
+    """Re-bracket the nearest-sample crossing on the true trilinear field
+    with a short uniform scan over [t_prev, t + step], then polish with
+    3 false-position iterations. Returns t_hit (0 where no hit)."""
     hit = out["hit"]
-
-    # --- trilinear refinement over the coarse bracket ------------------ #
-    # The nearest-sampled crossing brackets the trilinear crossing only
-    # approximately (grazing rays can disagree by a sample); a short
-    # uniform scan over [t_prev, t + step] re-brackets on the true
-    # trilinear field, then false-position polishes it.
-    def tri(t):
-        return interp(tsdf, dim, o + direction * t[None])
-
-    NSCAN = 6
     ta = out["t_prev"]
     tb = out["t"] + step
-    dtm = (tb - ta) / NSCAN
+    dtm = (tb - ta) / nscan
 
-    f0_run = tri(ta)
+    f0_run = tri_t(ta)
     t0 = ta
     f0 = f0_run
     t1 = tb
-    f1 = tri(tb)
+    f1 = tri_t(tb)
     found = jnp.zeros_like(hit)
-    for j in range(NSCAN):
+    for j in range(nscan):
         tj = ta + dtm * (j + 1.0)
-        fj = tri(tj)
+        fj = tri_t(tj)
         cross = ~found & (f0_run > 0) & (fj < 0)
         t0 = jnp.where(cross, ta + dtm * j, t0)
         f0 = jnp.where(cross, f0_run, f0)
@@ -212,13 +231,11 @@ def raycast_fast(tsdf: jax.Array,
         found = found | cross
         f0_run = fj
 
-    ok = found
-
     def refine(carry, _):
         t0, f0, t1, f1 = carry
         denom = f0 - f1
         tm = t1 + jnp.where(denom == 0, 0.0, (t1 - t0) * f1 / denom)
-        fm = tri(tm)
+        fm = tri_t(tm)
         neg = fm < 0
         t1n = jnp.where(neg, tm, t1)
         f1n = jnp.where(neg, fm, f1)
@@ -232,12 +249,8 @@ def raycast_fast(tsdf: jax.Array,
     t_ref = t1r + jnp.where(denom == 0, 0.0, (t1r - t0r) * f1r / denom)
     # No trilinear crossing in the rescan window (rare grazing case):
     # keep the nearest-sample crossing position.
-    t_hit = jnp.where(ok, t_ref, out["t"])
-    t_hit = jnp.where(hit, t_hit, 0.0)
-
-    hit_pos = o + direction * t_hit[None]
-    hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
-    return hit_pos, t_hit
+    t_hit = jnp.where(found, t_ref, out["t"])
+    return jnp.where(hit, t_hit, 0.0)
 
 
 def warm_start_bound(prev_t_hit: jax.Array,

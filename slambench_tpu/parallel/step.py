@@ -162,7 +162,16 @@ class ShardedKFusion(KFusion):
     def _slab_raycast(self, tsdf_slab: jax.Array, view: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
         """Slab-composited raycast; returns replicated (vertex, normal)
-        full-image maps."""
+        full-image maps. Uses the same mip-skipping nearest-sample march
+        as the single-device fast backend (ops/raycast_fast.mip_march),
+        with a slab-local min-mip built from the halo-extended slab —
+        cells aligned to the extended slab keep the conservative
+        (m+1)-overlap property locally, which is all the per-slab march
+        needs."""
+        from slambench_tpu.ops.raycast_fast import (
+            MIP_BLOCK, mip_march, rescan_refine,
+        )
+
         H, W = self.H, self.W
         sx, sy, sz = self.volume_resolution
         dim = self.volume_dimensions
@@ -173,6 +182,25 @@ class ShardedKFusion(KFusion):
         large_step = 0.75 * self.mu
 
         ext = self._halo_exchange(tsdf_slab)
+        m = MIP_BLOCK
+
+        # Slab-local overlapped min-mip of the extended slab (separable).
+        mip_local = ext
+        for axis in range(3):
+            win = [1, 1, 1]
+            stride = [1, 1, 1]
+            pad = [(0, 0)] * 3
+            win[axis] = m + 1
+            stride[axis] = m
+            pad[axis] = (0, m)
+            mip_local = jax.lax.reduce_window(
+                mip_local, jnp.int16(32767), jax.lax.min,
+                window_dimensions=tuple(win), window_strides=tuple(stride),
+                padding=pad)
+        mzb, myb, mxb = mip_local.shape
+        flat_mip = mip_local.reshape(-1)
+        flat_ext = ext.reshape(-1)
+        ext_z = ext.shape[0]
 
         origin, direction = camera_rays(view, (H, W))
         o = origin.reshape(3, 1, 1)
@@ -191,15 +219,59 @@ class ShardedKFusion(KFusion):
         my_tnear = jnp.maximum(tnear, t_enter - large_step)
         my_tfar = jnp.minimum(tfar, t_exit)
 
-        def sample(t):
-            return self._slab_interp(ext, z0_ext, o + direction * t[None])
+        voxel = jnp.array([dim[0] / sx, dim[1] / sy, vz],
+                          jnp.float32).reshape(3, 1, 1)
+        limit = jnp.array([sx - 1, sy - 1, sz - 1],
+                          jnp.int32).reshape(3, 1, 1)
 
-        # Full-range bound: rays near-parallel to the slab planes keep
-        # their whole [tnear, tfar] interval inside one slab.
+        def local_idx(t):
+            """Global-clamped voxel index, z localized to the ext slab."""
+            pos = o + direction * t[None]
+            gi = jnp.clip((pos / voxel).astype(jnp.int32), 0, limit)
+            lz = jnp.clip(gi[2] - z0_ext, 0, ext_z - 1)
+            return gi[0], gi[1], lz
+
+        def nearest_t(t):
+            x, y, lz = local_idx(t)
+            return jnp.take(flat_ext, (lz * sy + y) * sx + x).astype(
+                jnp.float32) * params.TSDF_INV_SCALE
+
+        def mip_t(t):
+            x, y, lz = local_idx(t)
+            bx = jnp.clip(x // m, 0, mxb - 1)
+            by = jnp.clip(y // m, 0, myb - 1)
+            bz = jnp.clip(lz // m, 0, mzb - 1)
+            return jnp.take(flat_mip, (bz * myb + by) * mxb + bx).astype(
+                jnp.float32) * params.TSDF_INV_SCALE
+
+        def exit_t(t):
+            pos = o + direction * t[None]
+            x, y, lz = local_idx(t)
+            # Cell bounds in world space; z cells live on the ext-local
+            # grid (offset z0_ext planes from the global origin).
+            bx = (x // m).astype(jnp.float32)
+            by = (y // m).astype(jnp.float32)
+            bz = (lz // m).astype(jnp.float32)
+            vx_, vy_ = dim[0] / sx, dim[1] / sy
+            lo = jnp.stack([bx * (m * vx_),
+                            by * (m * vy_),
+                            (bz * m + z0_ext) * vz])
+            hi = lo + jnp.array([m * vx_, m * vy_, m * vz],
+                                jnp.float32).reshape(3, 1, 1)
+            d = jnp.where(direction == 0, 1e-20, direction)
+            t_axis = jnp.where(d > 0, (hi - pos) / d, (lo - pos) / d)
+            dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
+            return t + jnp.maximum(dt, 0.0) + 0.25 * self.step
+
+        def tri_t(t):
+            return self._slab_interp(ext, z0_ext,
+                                     o + direction * t[None])
+
         max_iters = int((params.FAR_PLANE - params.NEAR_PLANE)
                         / self.step) + 2
-        t_hit_local = masked_march(sample, my_tnear, my_tfar,
-                                   self.step, large_step, max_iters)
+        out = mip_march(nearest_t, mip_t, exit_t, my_tnear, my_tfar,
+                        self.step, large_step, max_iters)
+        t_hit_local = rescan_refine(tri_t, out, self.step)
 
         # First hit across slabs.
         t_inf = jnp.where(t_hit_local > 0, t_hit_local, jnp.inf)

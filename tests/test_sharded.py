@@ -42,10 +42,10 @@ def test_shard_count_invariance(dataset):
     init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
     args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
             man["camera"])
-    # The sharded path uses the oracle slab march; compare against the
-    # single-device oracle backend (the fast-mip backend has its own
-    # parity test in test_raycast_fast.py).
-    errs1, s1 = _run(KFusion(*args, backend="jnp"), man)
+    # The sharded path shares the fast backend's march semantics;
+    # compare against the single-device fast backend (oracle-vs-fast
+    # parity is covered in test_raycast_fast.py).
+    errs1, s1 = _run(KFusion(*args, backend="fast"), man)
     errs4, s4 = _run(ShardedKFusion(*args, mesh=make_mesh(4)), man)
     errs8, s8 = _run(ShardedKFusion(*args, mesh=make_mesh(8)), man)
 
@@ -72,8 +72,12 @@ def test_slab_raycast_matches_single_device():
     k = jnp.array([60.0, 60.0, 16.0, 12.0])
     view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
 
-    v1, n1 = raycast_maps(tsdf, (2.0,) * 3, view, (24, 32), 0.1, 4.0,
-                          2.0 / 64, 0.15)
+    # The slab march shares the mip/nearest-sample semantics of the fast
+    # single-device backend — compare like with like.
+    from slambench_tpu.ops.raycast_fast import make_min_mip, raycast_fast_maps
+    mip = make_min_mip(tsdf)
+    v1, n1, _ = raycast_fast_maps(tsdf, mip, (2.0,) * 3, view, (24, 32),
+                                  0.1, 4.0, 2.0 / 64, 0.15)
 
     mesh = make_mesh(4)
     kf = ShardedKFusion((32, 24), (64, 64, 64), (2.0,) * 3, [1.0, 1.0, 0.2],
