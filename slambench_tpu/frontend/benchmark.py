@@ -50,7 +50,8 @@ def _fence(x):
 
 def run(config: Configuration, fused: bool = False,
         max_frames: Optional[int] = None, quiet: bool = False,
-        stats: bool = False) -> dict:
+        stats: bool = False, break_on_untracked: bool = False,
+        break_at_frame: Optional[int] = None) -> dict:
     """Run the benchmark; returns summary statistics."""
     logstream = sys.stdout
     logfile = None
@@ -202,6 +203,18 @@ def run(config: Configuration, fused: bool = False,
             Stats.sample("computation", t5_ - t1_, StatType.TIME)
             Stats.sample("total", t6 - t0, StatType.TIME)
             power.sample()
+        # Conditional breakpoints — the headless equivalent of the Qt
+        # GUI's stat breakpoints ('stop when tracked becomes false',
+        # reference: qt/SlamBenchQt.cpp:430, ApplicationWindow.cpp:
+        # 1024-1060): stop the run and report the state.
+        if break_on_untracked and frame > 3 and not tracked:
+            print(f"BREAK: untracked at frame {frame}", file=sys.stderr)
+            frame += 1
+            break
+        if break_at_frame is not None and frame >= break_at_frame:
+            print(f"BREAK: at frame {frame}", file=sys.stderr)
+            frame += 1
+            break
         frame += 1
         t0 = time.monotonic()
 
@@ -236,12 +249,21 @@ def main(argv=None):
     stats = "--stats" in argv
     if stats:
         argv.remove("--stats")
+    break_untracked = "--break-on-untracked" in argv
+    if break_untracked:
+        argv.remove("--break-on-untracked")
+    break_at = None
+    if "--break-at-frame" in argv:
+        i = argv.index("--break-at-frame")
+        break_at = int(argv[i + 1])
+        del argv[i:i + 2]
     config = parse_args(argv)
     if not config.input_file:
         print("No input found.", file=sys.stderr)
         config.print_arguments()
         return 1
-    run(config, fused=fused, stats=stats)
+    run(config, fused=fused, stats=stats,
+        break_on_untracked=break_untracked, break_at_frame=break_at)
     return 0
 
 
