@@ -252,6 +252,12 @@ def main(argv=None):
     break_untracked = "--break-on-untracked" in argv
     if break_untracked:
         argv.remove("--break-on-untracked")
+    if "--debug-nans" in argv:
+        # The functional-purity analogue of the reference's (absent)
+        # sanitizers (SURVEY.md §5.2): fault on any NaN produced on
+        # device.
+        argv.remove("--debug-nans")
+        jax.config.update("jax_debug_nans", True)
     break_at = None
     if "--break-at-frame" in argv:
         i = argv.index("--break-at-frame")

@@ -43,7 +43,7 @@ from slambench_tpu.geometry import (
     get_camera_matrix, get_inverse_camera_matrix, mat4mul, rigid_inverse,
 )
 from slambench_tpu.ops.integrate import integrate
-from slambench_tpu.ops.raycast import camera_rays, masked_march, ray_box_clip
+from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
 from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import reduce_track, track
 from slambench_tpu.ops.vertex import depth2vertex, vertex2normal
