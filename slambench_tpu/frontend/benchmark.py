@@ -20,6 +20,7 @@ Usage:  python -m slambench_tpu.frontend.benchmark -i scene.raw -o out.log
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Optional
@@ -242,7 +243,20 @@ def run(config: Configuration, fused: bool = False,
 
 
 def main(argv=None):
+    # Env-based platform/device selection + persistent jit cache — the
+    # reference's OpenCL host-runtime capabilities (OPENCL_PLATFORM /
+    # OPENCL_DEVICE env, runtime kernel-build cache; common_opencl.cpp:
+    # 31-183). Before any backend-initialising call.
+    from slambench_tpu.utils import backend as backend_select
+    backend_select.select_backend()
+    if os.environ.get("SLAMBENCH_JIT_CACHE", "").lower() not in ("0", "off"):
+        backend_select.enable_jit_cache()
+    backend_select.select_device()
+
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "--report-device" in argv:
+        argv.remove("--report-device")
+        backend_select.device_report(sys.stderr)
     fused = "--fused" in argv
     if fused:
         argv.remove("--fused")
@@ -268,8 +282,14 @@ def main(argv=None):
         print("No input found.", file=sys.stderr)
         config.print_arguments()
         return 1
-    run(config, fused=fused, stats=stats,
-        break_on_untracked=break_untracked, break_at_frame=break_at)
+    try:
+        run(config, fused=fused, stats=stats,
+            break_on_untracked=break_untracked, break_at_frame=break_at)
+    except Exception as exc:                   # noqa: BLE001
+        hint = backend_select.explain_error(exc)
+        if hint:
+            print(f"hint: {hint}", file=sys.stderr)
+        raise
     return 0
 
 

@@ -18,13 +18,18 @@ Output layout matches ``ops.track.reduce_track``:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_ROWS = 512          # pixels per grid step
+# Pixels per grid step. Env-overridable for tuning sweeps — the TPU
+# analogue of the reference's work-group-size override harness
+# (reference: thirdparty/OCLWrapper.cpp:77-132, KERNEL/ls*/gs* env vars);
+# driven by slambench_tpu.tools.autotune.
+TILE_ROWS = int(os.environ.get("SLAMBENCH_TILE_ROWS", "512"))
 WIDTH = 128              # native lane width; cols 0..7 carry data
 
 
@@ -77,15 +82,22 @@ def _reduce_kernel(a_ref, res_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def reduce_track_pallas(data, interpret: bool = False) -> jax.Array:
-    """Packed 32-float reduction from TrackData (ops.track contract)."""
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_rows"))
+def reduce_track_pallas(data, interpret: bool = False,
+                        tile_rows: int | None = None) -> jax.Array:
+    """Packed 32-float reduction from TrackData (ops.track contract).
+
+    ``tile_rows`` overrides the per-step tile height (default: the
+    SLAMBENCH_TILE_ROWS env var or 512) — the tuning knob the reference
+    exposes as OpenCL work-group size overrides.
+    """
+    TILE = tile_rows or TILE_ROWS
     result = data["result"].reshape(-1)
     error = data["error"].reshape(-1)
     J = data["J"].reshape(6, -1)
     n = result.shape[0]
 
-    pad = (-n) % TILE_ROWS
+    pad = (-n) % TILE
     if pad:
         # -6 falls outside every counting bucket (valid / -4 / -5 /
         # "other reject" which is -4 < r < 1), so padding is inert.
@@ -99,14 +111,14 @@ def reduce_track_pallas(data, interpret: bool = False) -> jax.Array:
         axis=0).T                                    # [N, 128]
     res = jnp.broadcast_to(result[:, None], (n, WIDTH)).astype(jnp.float32)
 
-    grid = n // TILE_ROWS
+    grid = n // TILE
     G = pl.pallas_call(
         _reduce_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, WIDTH), lambda i: (i, 0),
+            pl.BlockSpec((TILE, WIDTH), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_ROWS, WIDTH), lambda i: (i, 0),
+            pl.BlockSpec((TILE, WIDTH), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((WIDTH, WIDTH), lambda i: (0, 0),

@@ -27,6 +27,7 @@ Per 240x320 frame this replaces ~1000 volume gathers/ray with ~40-80.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -37,7 +38,13 @@ from slambench_tpu.geometry import length3, normalize3
 from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
 from slambench_tpu.volume import Dim3, grad, interp
 
-MIP_BLOCK = 8
+# Mip cell edge in voxels. Env-overridable for tuning sweeps (the TPU
+# analogue of the reference's OCLWrapper work-group-size overrides,
+# OCLWrapper.cpp:77-132): larger cells shrink the skip table but make
+# emptiness proofs coarser. Swept by slambench_tpu.tools.autotune;
+# measured on the shared v5e endpoint, 8 wins end-to-end (16 wins only
+# on surface-free ray distributions).
+MIP_BLOCK = int(os.environ.get("SLAMBENCH_MIP_BLOCK", "8"))
 
 
 def make_min_mip(tsdf: jax.Array, m: int = MIP_BLOCK) -> jax.Array:

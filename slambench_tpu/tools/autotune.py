@@ -1,0 +1,152 @@
+"""Kernel-parameter tuning harness.
+
+The TPU analogue of the reference's OpenCL work-group-size tuning route
+(reference: kfusion/thirdparty/OCLWrapper.cpp:77-132 — the LD_PRELOAD
+wrapper re-launches a chosen KERNEL with ls0..2/gs0..2 env overrides and
+reports per-launch nanoseconds). Here the tunables are the Pallas/XLA
+structural parameters:
+
+* ``tile_rows`` — rows per grid step of the fused ICP reduction
+  (ops/pallas/reduce.py; env ``SLAMBENCH_TILE_ROWS``),
+* ``mip_block`` — min-mip cell edge of the accelerated raycast
+  (ops/raycast_fast.py; env ``SLAMBENCH_MIP_BLOCK``),
+
+and the output is the same ``name duration_ns`` stream check_kernels
+consumes.
+
+Timing methodology (this repo's shared-TPU reality): repeated identical
+calls hit caches, so every measured iteration is *chained* — each input
+depends on the previous output — and a scalar is fetched at the end.
+
+CLI:
+  python -m slambench_tpu.tools.autotune reduce  [--values 256,512,1024,2048]
+  python -m slambench_tpu.tools.autotune mip     [--values 4,8,16,32]
+  python -m slambench_tpu.tools.autotune --iters 8 --pixels 76800 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _fetch(x) -> float:
+    """Fence + value fetch (block_until_ready alone is not a reliable
+    fence on the tunneled endpoint)."""
+    import jax
+    jax.block_until_ready(x)
+    return float(np.asarray(x).ravel()[0])
+
+
+def sweep_reduce(values, pixels: int, iters: int, out=sys.stdout):
+    """Time the fused normal-equations reduction per tile height."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu.ops.pallas.reduce import reduce_track_pallas
+
+    interpret = jax.default_backend() == "cpu"   # Mosaic needs a TPU
+    rng = np.random.default_rng(0)
+    H = max(1, pixels // 320)
+    data = {
+        "result": jnp.asarray(
+            rng.choice([1, -1, -2, -4, -5], size=(H, 320)).astype(np.int32)),
+        "error": jnp.asarray(rng.standard_normal((H, 320), np.float32)),
+        "J": jnp.asarray(rng.standard_normal((6, H, 320), np.float32)),
+    }
+    rows = []
+    for tile in values:
+        # Warm up / compile.
+        _fetch(reduce_track_pallas(data, tile_rows=int(tile),
+                                   interpret=interpret))
+        d = dict(data)
+        t0 = time.monotonic()
+        for _ in range(iters):
+            outv = reduce_track_pallas(d, tile_rows=int(tile),
+                                       interpret=interpret)
+            # Chain: fold the scalar result back into the next input.
+            d = dict(d, error=d["error"] + outv[0] * 1e-30)
+        last = _fetch(outv)
+        ns = (time.monotonic() - t0) / iters * 1e9
+        print(f"reduce[tile_rows={tile}] {ns:.0f} {pixels}", file=out)
+        rows.append((int(tile), ns, last))
+    return rows
+
+
+def sweep_mip(values, resolution: int, iters: int, out=sys.stdout):
+    """Time min-mip build + accelerated raycast per mip cell edge."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu import params
+    from slambench_tpu.ops.raycast_fast import make_min_mip, raycast_fast
+    from slambench_tpu.volume import pack_tsdf
+
+    n = resolution
+    dim = (4.8, 4.8, 4.8)
+    # Synthetic scene: a solid floor slab (negative below z=2.4 m).
+    z = (np.arange(n, dtype=np.float32) + 0.5) * (dim[2] / n)
+    sdf = np.clip((z - 2.4) / 0.1, -1.0, 1.0).astype(np.float32)
+    tsdf = jnp.asarray(np.broadcast_to(
+        sdf[:, None, None], (n, n, n)).copy())
+    tsdf = pack_tsdf(tsdf)
+    # view = pose @ inv(K): camera inside the volume looking down +z.
+    K = np.array([[240.6, 0, 160, 0], [0, 240.0, 120, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (2.4, 2.4, 0.2)
+    view = jnp.asarray(pose @ np.linalg.inv(K))
+
+    step = min(dim) / n
+    rows = []
+    for m in values:
+        m = int(m)
+        mip = make_min_mip(tsdf, m=m)
+
+        @jax.jit
+        def rc(t, mp, v, m=m):
+            return raycast_fast(t, mp, dim, v, (240, 320),
+                                params.NEAR_PLANE, params.FAR_PLANE,
+                                step, 0.075, m=m)[1]
+
+        _fetch(rc(tsdf, mip, view))
+        v = view
+        t0 = time.monotonic()
+        for _ in range(iters):
+            t_hit = rc(tsdf, mip, v)
+            # Chain: nudge the view by a value derived from the result.
+            v = v.at[0, 3].add(jnp.max(t_hit) * 1e-30)
+        _fetch(t_hit)
+        ns = (time.monotonic() - t0) / iters * 1e9
+        print(f"raycast[mip_block={m}] {ns:.0f} {240 * 320}", file=out)
+        rows.append((m, ns, 0.0))
+    return rows
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("kernel", choices=["reduce", "mip"])
+    ap.add_argument("--values", default=None,
+                    help="comma-separated parameter values to sweep")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--pixels", type=int, default=76800)
+    ap.add_argument("--resolution", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    if args.kernel == "reduce":
+        values = [int(v) for v in
+                  (args.values or "256,512,1024,2048").split(",")]
+        rows = sweep_reduce(values, args.pixels, args.iters)
+    else:
+        values = [int(v) for v in (args.values or "4,8,16,32").split(",")]
+        rows = sweep_mip(values, args.resolution, args.iters)
+
+    best = min(rows, key=lambda r: r[1])
+    print(f"# best: {args.kernel}={best[0]} ({best[1]:.0f} ns/call)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -59,3 +59,21 @@ def test_pallas_reduce_handles_padding():
     want = np.asarray(reduce_track(data))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
     assert got[28] == h * w
+
+
+def test_pallas_reduce_tile_rows_invariance():
+    # The tuning knob (tools/autotune; SLAMBENCH_TILE_ROWS) must not
+    # change results — only the grid decomposition.
+    rng = np.random.default_rng(3)
+    h, w = 96, 128
+    data = {
+        "result": jnp.asarray(rng.choice(
+            [1, -1, -2, -4, -5], size=(h, w)).astype(np.int32)),
+        "error": jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)),
+        "J": jnp.asarray(rng.standard_normal((6, h, w)).astype(np.float32)),
+    }
+    base = np.asarray(reduce_track_pallas(data, interpret=True))
+    for tile in (256, 1024, 4096):
+        got = np.asarray(reduce_track_pallas(data, interpret=True,
+                                             tile_rows=tile))
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-4)
