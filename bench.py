@@ -46,11 +46,17 @@ def main():
 
     # Dataset: 640x480 synthetic living room, traj2-like camera + volume.
     raw = os.path.join(args.dataset, "synth.raw")
+    vfile = os.path.join(args.dataset, "synth.scene_version")
     n_frames = max(args.frames, 8)
     regen = not os.path.exists(raw)
     if not regen:
         from slambench_tpu.io.raw import raw_frame_count
+        from slambench_tpu.io.synthetic import SCENE_VERSION
         regen = raw_frame_count(raw) < n_frames
+        try:
+            regen = regen or int(open(vfile).read()) != SCENE_VERSION
+        except (OSError, ValueError):
+            regen = True
     if regen:
         man = generate_dataset(args.dataset, n_frames=n_frames,
                                image_size=(640, 480), dim=(4.8, 4.8, 4.8),

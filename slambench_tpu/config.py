@@ -31,8 +31,12 @@ DEFAULT_VOLUME_RESOLUTION = (256, 256, 256)
 DEFAULT_VOLUME_SIZE = (2.0, 2.0, 2.0)
 DEFAULT_INITIAL_POS_FACTOR = (0.5, 0.5, 0.0)
 
-SHORT_OPTIONS = "qc:d:f:i:l:m:k:o:p:r:s:t:v:y:z:"
+# 'b' (blocking read): the reference declares the handler
+# (default_parameters.h:266-269) but omits 'b' from its short_options
+# string (:53), making the case dead code; here the flag works.
+SHORT_OPTIONS = "bqc:d:f:i:l:m:k:o:p:r:s:t:v:y:z:"
 LONG_OPTIONS = [
+    "blocking-read",
     "compute-size-ratio=", "dump-volume=", "fps=", "input-file=", "camera=",
     "icp-threshold=", "log-file=", "mu=", "init-pose=", "no-gui",
     "integration-rate=", "volume-size=", "tracking-rate=",
@@ -40,6 +44,11 @@ LONG_OPTIONS = [
     # TPU-native extensions (not in the reference):
     "mesh=", "backend=", "checkpoint=", "resume=",
 ]
+
+# Valid compute-kernel backends (pipeline.KFusion): the jnp oracle, the
+# min-mip fast path, the Pallas tier, or auto (fast on CPU, pallas-fused
+# reduction on TPU).
+VALID_BACKENDS = ("jnp", "fast", "pallas", "auto")
 
 
 def parse_float3(text: str) -> Tuple[float, float, float]:
@@ -142,8 +151,9 @@ class Configuration:
             f"-v  (--volume-resolution)        : default is {DEFAULT_VOLUME_RESOLUTION[0]},{DEFAULT_VOLUME_RESOLUTION[1]},{DEFAULT_VOLUME_RESOLUTION[2]}",
             "-y  (--pyramid-levels)           : default is 10,5,4",
             f"-z  (--rendering-rate)           : default is {DEFAULT_RENDERING_RATE}",
+            "-b  (--blocking-read)            : pace reads to --fps instead of dropping frames",
             "--mesh <axis:n>                  : shard the TSDF over an n-device mesh (TPU extension)",
-            "--backend <jnp|pallas|auto>      : compute-kernel backend (TPU extension)",
+            "--backend <jnp|fast|pallas|auto> : compute-kernel backend (TPU extension)",
         ]
         for line in lines:
             print(line, file=out)
@@ -191,7 +201,10 @@ def parse_args(argv: Sequence[str]) -> Configuration:
         raise SystemExit(0)
 
     for opt, arg in opts:
-        if opt in ("-c", "--compute-size-ratio"):
+        if opt in ("-b", "--blocking-read"):
+            cfg.blocking_read = True
+            print("activate blocking read", file=sys.stderr)
+        elif opt in ("-c", "--compute-size-ratio"):
             cfg.compute_size_ratio = int(arg)
             print(f"update compute_size_ratio to {cfg.compute_size_ratio}",
                   file=sys.stderr)
@@ -245,6 +258,10 @@ def parse_args(argv: Sequence[str]) -> Configuration:
             cfg.mesh = arg
         elif opt == "--backend":
             cfg.backend = arg
+            if cfg.backend not in VALID_BACKENDS:
+                errors.append(
+                    "--backend must be one of %s (was %s)"
+                    % ("|".join(VALID_BACKENDS), arg))
         elif opt == "--checkpoint":
             cfg.checkpoint_file = arg
         elif opt == "--resume":

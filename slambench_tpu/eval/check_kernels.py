@@ -45,6 +45,12 @@ UNIFY = {
     "initVolumeKernel": "initVolume",
     "updatePoseKernel": "updatePose",
     "solve": "updatePose",
+    "checkPoseKernel": "checkPose",
+    "renderDepth": "renderDepth",
+    "renderTrack": "renderTrack",
+    "renderVolume": "renderVolume",
+    # TPU-only kernel (min-mip maintenance; no reference counterpart).
+    "make_min_mip": "minMip",
 }
 
 

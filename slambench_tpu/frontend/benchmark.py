@@ -110,6 +110,11 @@ def run(config: Configuration, fused: bool = False,
         power = PowerMonitor()
         power.start()
 
+    timed_runner = None
+    if kernel_timings_enabled() and not config.mesh and not fused:
+        from slambench_tpu.frontend.timed import TimedRunner
+        timed_runner = TimedRunner(kf)
+
     print(HEADER, file=logstream)
 
     frame = start_frame
@@ -140,6 +145,15 @@ def run(config: Configuration, fused: bool = False,
                                      config.integration_rate)
             t5 = _fence(state)
             timings = (t1, t1, t1, t1, t5)
+        elif timed_runner is not None:
+            # KERNEL_TIMINGS route: every kernel its own fenced dispatch,
+            # reference-named 'name ns size' lines on stderr
+            # (reference: cpp/kernels.cpp:16-37; checkKernels contract).
+            state = timed_runner.process_frame(
+                state, depth, frame, config.tracking_rate,
+                config.integration_rate)
+            t5 = _fence(state)
+            timings = (t1, t1, t1, t1, t5)
         elif fused:
             state = kf.compute_frame(state, depth, **gates)
             t5 = _fence(state)
@@ -158,18 +172,6 @@ def run(config: Configuration, fused: bool = False,
                 state = kf.raycasting(state)
             t5 = _fence(state.ref_vertex)
             timings = (t1, t2, t3, t4, t5)
-            # Per-kernel timing route: with KERNEL_TIMINGS set, emit
-            # 'name duration_ns size' stderr lines in the reference's
-            # TICK/TOCK format (reference: cpp/kernels.cpp:16-37),
-            # consumed by eval/check_kernels (checkKernels.py contract).
-            if kernel_timings_enabled():
-                npix = W * H
-                for name, dt in (("preprocessing", t2 - t1),
-                                 ("track", t3 - t2),
-                                 ("integrate", t4 - t3),
-                                 ("raycast", t5 - t4)):
-                    print(f"{name} {int(dt * 1e9)} {npix}",
-                          file=sys.stderr)
 
         # Rendering (reference: benchmark.cpp:153-156).
         _ = kf.render_depth_image(state)

@@ -38,6 +38,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import secrets
 import struct
 import sys
 import threading
@@ -112,6 +113,10 @@ class DashboardState:
     """Shared, lock-protected snapshot the HTTP thread serves and the
     pipeline thread updates; also carries the control state machine."""
 
+    # Series history cap: snapshot() only transports this many points, so
+    # anything beyond it would be a slow per-frame memory leak.
+    MAX_POINTS = 600
+
     def __init__(self):
         self.lock = threading.Lock()
         self.mode = RUNNING
@@ -128,6 +133,13 @@ class DashboardState:
         # Runtime breakpoints (reference: ApplicationWindow.cpp:1024-1060).
         self.break_at_frame: Optional[int] = None
         self.break_on_untracked = False
+        # Pending runtime parameter change (reference rebuilds the Kfusion
+        # object when GUI dropdowns change, qt/SlamBenchQt.cpp:347-362).
+        self.reconfig_request: Optional[Dict[str, str]] = None
+        # Per-run CSRF token: mutating endpoints require it, so a foreign
+        # web page cannot fire cross-origin /control?cmd=quit at the
+        # loopback server.
+        self.token = secrets.token_hex(8)
 
     # Pipeline-side -----------------------------------------------------
     def publish(self, frame: int, tracked: bool, integrated: bool,
@@ -139,7 +151,10 @@ class DashboardState:
             self.integrated = integrated
             self.pose = tuple(float(p) for p in pose)
             for k, v in samples.items():
-                self.series.setdefault(k, []).append(float(v))
+                lst = self.series.setdefault(k, [])
+                lst.append(float(v))
+                if len(lst) > self.MAX_POINTS:
+                    del lst[:-self.MAX_POINTS]
             if tile_png is not None:
                 self.tile_png = tile_png
             if self.break_on_untracked and frame > 3 and not tracked:
@@ -163,6 +178,8 @@ class DashboardState:
                     return "STEP"
                 if self.reset_request:
                     return "RESET"
+                if self.reconfig_request is not None:
+                    return "RECONFIG"
                 rerender = self.render_request
                 self.render_request = False
             if rerender:
@@ -176,6 +193,16 @@ class DashboardState:
             if r:
                 for v in self.series.values():
                     v.clear()
+            return r
+
+    def request_reconfig(self, changes: Dict[str, str]) -> None:
+        with self.lock:
+            self.reconfig_request = dict(changes)
+
+    def take_reconfig(self) -> Optional[Dict[str, str]]:
+        with self.lock:
+            r = self.reconfig_request
+            self.reconfig_request = None
             return r
 
     # Control-side ------------------------------------------------------
@@ -241,10 +268,32 @@ canvas{background:#232327;display:block;margin:4px 0}
 set</button>
 <button onclick="ctl('break_untracked','1')">break on untracked</button>
 </p>
+<p class="lbl">runtime parameters (rebuilds the pipeline, resets state):
+volume-resolution <input id="rc_vr" size="4">
+integration-rate <input id="rc_ir" size="3">
+tracking-rate <input id="rc_tr" size="3">
+mu <input id="rc_mu" size="5">
+icp-threshold <input id="rc_icp" size="7">
+backend <input id="rc_be" size="6">
+<button onclick="reconfig()">apply</button>
+</p>
 <img id="tile" src="/tile.png">
 <div id="plots"></div>
 <script>
-function ctl(cmd, arg){fetch('/control?cmd='+cmd+(arg?'&arg='+arg:''))}
+const TOKEN='__TOKEN__';
+function ctl(cmd, arg){fetch('/control?cmd='+cmd+(arg?'&arg='+arg:'')+
+  '&token='+TOKEN,{method:'POST'})}
+function reconfig(){
+  const fields={volume_resolution:'rc_vr',integration_rate:'rc_ir',
+    tracking_rate:'rc_tr',mu:'rc_mu',icp_threshold:'rc_icp',
+    backend:'rc_be'};
+  let parts=[];
+  for(let k in fields){
+    let v=document.getElementById(fields[k]).value.trim();
+    if(v)parts.push(k+'='+encodeURIComponent(v));}
+  if(parts.length)
+    fetch('/reconfig?'+parts.join('&')+'&token='+TOKEN,{method:'POST'});
+}
 function draw(name, data){
   let id='p_'+name.replace(/[^a-zA-Z0-9]/g,'_');
   let div=document.getElementById(id);
@@ -293,10 +342,40 @@ def make_handler(state: DashboardState):
             self.end_headers()
             self.wfile.write(body)
 
+        def _check_token(self, q) -> bool:
+            """CSRF guard: mutating endpoints need the per-run token the
+            served page embeds; a foreign origin cannot read it."""
+            return q.get("token", [""])[0] == state.token
+
+        def _mutate(self):
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            if url.path == "/control":
+                if not self._check_token(q):
+                    self._send(403, "text/plain", b"bad token")
+                    return
+                cmd = q.get("cmd", [""])[0]
+                arg = q.get("arg", [None])[0]
+                self._send(200, "text/plain",
+                           state.control(cmd, arg).encode())
+            elif url.path == "/reconfig":
+                if not self._check_token(q):
+                    self._send(403, "text/plain", b"bad token")
+                    return
+                changes = {k: v[0] for k, v in q.items() if k != "token"}
+                state.request_reconfig(changes)
+                self._send(200, "text/plain", b"RECONFIG")
+            else:
+                self._send(404, "text/plain", b"not found")
+
+        def do_POST(self):
+            self._mutate()
+
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/":
-                self._send(200, "text/html", PAGE.encode())
+                self._send(200, "text/html",
+                           PAGE.replace("__TOKEN__", state.token).encode())
             elif url.path == "/tile.png":
                 png = state.tile_png or encode_png(
                     np.zeros((8, 8, 3), np.uint8))
@@ -304,12 +383,10 @@ def make_handler(state: DashboardState):
             elif url.path == "/stats.json":
                 self._send(200, "application/json",
                            json.dumps(state.snapshot()).encode())
-            elif url.path == "/control":
-                q = parse_qs(url.query)
-                cmd = q.get("cmd", [""])[0]
-                arg = q.get("arg", [None])[0]
-                self._send(200, "text/plain",
-                           state.control(cmd, arg).encode())
+            elif url.path in ("/control", "/reconfig"):
+                # Token-guarded GET kept for curl convenience; the token
+                # is the CSRF defense either way.
+                self._mutate()
             else:
                 self._send(404, "text/plain", b"not found")
 
@@ -363,27 +440,65 @@ def run_dashboard(argv=None) -> int:
         print("No input found.", file=sys.stderr)
         return 1
 
-    in_w, in_h = reader.get_input_size()
-    ratio = config.compute_size_ratio
-    W, H = in_w // ratio, in_h // ratio
-    camera = tuple(c / ratio for c in (
-        config.camera if config.camera_overrided else reader.get_k()))
-    kf = KFusion((W, H), config.volume_resolution, config.volume_size,
-                 config.init_pose, config.pyramid, camera,
-                 mu=config.mu, icp_threshold=config.icp_threshold)
-    kf_state = kf.init_state()
+    def build_kf():
+        in_w, in_h = reader.get_input_size()
+        ratio = config.compute_size_ratio
+        W, H = in_w // ratio, in_h // ratio
+        camera = tuple(c / ratio for c in (
+            config.camera if config.camera_overrided else reader.get_k()))
+        kf = KFusion((W, H), config.volume_resolution, config.volume_size,
+                     config.init_pose, config.pyramid, camera,
+                     mu=config.mu, icp_threshold=config.icp_threshold,
+                     backend=config.backend)
+        return kf, kf.init_state()
 
+    def current_params():
+        return {
+            "input": config.input_file,
+            "volume_resolution": list(config.volume_resolution),
+            "volume_size": list(config.volume_size),
+            "compute_size_ratio": config.compute_size_ratio,
+            "mu": config.mu,
+            "icp_threshold": config.icp_threshold,
+            "tracking_rate": config.tracking_rate,
+            "integration_rate": config.integration_rate,
+            "backend": config.backend,
+        }
+
+    def apply_reconfig(changes) -> bool:
+        """Apply runtime parameter changes to the config; returns whether
+        the pipeline must be rebuilt (the reference rebuilds Kfusion and
+        resets on volume/ratio changes, qt/SlamBenchQt.cpp:347-362)."""
+        rebuild = False
+        for key, val in changes.items():
+            try:
+                if key == "volume_resolution":
+                    n = int(val)
+                    config.volume_resolution = (n, n, n)
+                    rebuild = True
+                elif key == "mu":
+                    config.mu = float(val)
+                    rebuild = True
+                elif key == "icp_threshold":
+                    config.icp_threshold = float(val)
+                    rebuild = True
+                elif key == "backend":
+                    from slambench_tpu.config import VALID_BACKENDS
+                    if val in VALID_BACKENDS:
+                        config.backend = val
+                        rebuild = True
+                elif key == "integration_rate":
+                    config.integration_rate = max(1, int(val))
+                elif key == "tracking_rate":
+                    config.tracking_rate = max(1, int(val))
+            except ValueError:
+                print(f"reconfig: bad value {key}={val!r}",
+                      file=sys.stderr)
+        return rebuild
+
+    kf, kf_state = build_kf()
     dash = DashboardState()
-    dash.params = {
-        "input": config.input_file,
-        "volume_resolution": list(config.volume_resolution),
-        "volume_size": list(config.volume_size),
-        "compute_size_ratio": ratio,
-        "mu": config.mu,
-        "icp_threshold": config.icp_threshold,
-        "tracking_rate": config.tracking_rate,
-        "integration_rate": config.integration_rate,
-    }
+    dash.params = current_params()
     if start_paused:
         dash.control("pause")
     httpd = serve(dash, port)
@@ -412,6 +527,16 @@ def run_dashboard(argv=None) -> int:
                 reader.restart()
                 kf_state = kf.init_state()
                 frame = 0
+                continue
+            changes = dash.take_reconfig()
+            if changes:
+                if apply_reconfig(changes):
+                    reader.restart()
+                    kf, kf_state = build_kf()
+                    frame = 0
+                with dash.lock:
+                    dash.params = current_params()
+                print(f"reconfigured: {changes}", file=sys.stderr)
                 continue
             depth = reader.read_next_depth_frame()
             if depth is None:

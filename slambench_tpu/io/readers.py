@@ -165,6 +165,38 @@ class SceneDepthReader(DepthReader):
         return self._size
 
 
+class NativeBackedRawReader(DepthReader):
+    """RawDepthReader drop-in whose frame payloads come from the native
+    mmap/prefetch loader (slambench_tpu/native/slamio.cpp — the C++
+    reader half, reference: interface.h:199-318) while the fps-pacing /
+    frame-dropping semantics stay in the shared DepthReader base."""
+
+    def __init__(self, filename: str, fps: int = 0,
+                 blocking_read: bool = False):
+        super().__init__(fps, blocking_read)
+        from slambench_tpu.io import native
+        self._native = native.NativeRawReader(filename)
+        self._size = self._native.get_input_size()
+        self.camera_open = True
+        self.camera_active = True
+
+    def read_next_depth_frame(self) -> Optional[np.ndarray]:
+        self.get_next_frame()
+        if self._frame < 0:
+            return None
+        return self._native.read_depth(self._frame)
+
+    def get_k(self):
+        return self._native.get_k()
+
+    def get_input_size(self):
+        return self._size
+
+    def restart(self) -> None:
+        super().restart()
+        self._native.restart()
+
+
 def _parse_scf(path: str) -> dict:
     """Parse a ``.scf`` scene-config file: ``key = value`` lines with
     relative paths resolved against the file's directory
@@ -206,5 +238,15 @@ def make_reader(config) -> Optional[DepthReader]:
     if os.path.isdir(path):
         return SceneDepthReader(path, fps, blocking)
     if os.path.isfile(path):
+        # Prefer the native mmap/prefetch loader when libslamio builds
+        # (SLAMBENCH_NATIVE_IO=0 forces the pure-numpy reader); fall back
+        # gracefully if the toolchain or build is unavailable.
+        if os.environ.get("SLAMBENCH_NATIVE_IO", "1") not in ("0", "off"):
+            try:
+                from slambench_tpu.io import native
+                if native.available():
+                    return NativeBackedRawReader(path, fps, blocking)
+            except Exception:                      # noqa: BLE001
+                pass
         return RawDepthReader(path, fps, blocking)
     return None

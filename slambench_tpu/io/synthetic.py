@@ -27,6 +27,11 @@ import jax.numpy as jnp
 
 from slambench_tpu.io.raw import RawWriter
 
+# Bumped whenever the analytic scene or trajectory changes shape;
+# generate_dataset stamps it next to the RAW so cached datasets (bench,
+# profilers) regenerate instead of silently mixing scene generations.
+SCENE_VERSION = 2
+
 
 @dataclasses.dataclass
 class SyntheticScene:
@@ -36,8 +41,16 @@ class SyntheticScene:
     six pose DOF (a floor/wall-only scene leaves yaw unconstrained and ICP
     drifts): a sphere, two boxes and a tall pillar at different heights
     and azimuths.
+
+    The walls are INSET from the volume boundary: a wall exactly on the
+    volume face would have its entire negative TSDF band outside the
+    volume, making it invisible to the raycast (no f<0 voxel exists) —
+    every wall pixel then returns -3 and the tracked-pixel ratio sits on
+    the 15% track-threshold cliff (ICL-NUIM rooms are likewise interior
+    to the reference's fusion volume).
     """
     dim: Tuple[float, float, float] = (4.8, 4.8, 4.8)
+    wall_inset: float = 0.25
 
     def sdf(self, p: jax.Array) -> jax.Array:
         """Signed distance (positive in free space) at world points
@@ -45,10 +58,12 @@ class SyntheticScene:
         dx, dy, dz = self.dim
         x, y, z = p[0], p[1], p[2]
 
-        # Room interior: distance to the nearest wall plane.
+        # Room interior: distance to the nearest (inset) wall plane.
+        w = self.wall_inset * dx / 4.8
         room = jnp.minimum(
-            jnp.minimum(jnp.minimum(x, dx - x), jnp.minimum(y, dy - y)),
-            jnp.minimum(z, dz - z))
+            jnp.minimum(jnp.minimum(x - w, dx - w - x),
+                        jnp.minimum(y - w, dy - w - y)),
+            jnp.minimum(z - w, dz - w - z))
 
         def sphere(c, r):
             return jnp.sqrt((x - c[0]) ** 2 + (y - c[1]) ** 2
@@ -215,6 +230,8 @@ def generate_dataset(out_dir: str,
             depth = np.asarray(render(jnp.asarray(poses[i])))
             wr.write(depth)
     write_gt_freiburg(gt_path, poses)
+    with open(os.path.join(out_dir, f"{name}.scene_version"), "w") as f:
+        f.write(str(SCENE_VERSION))
     return {
         "raw": raw_path,
         "gt": gt_path,

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from slambench_tpu import params
-from slambench_tpu.volume import Dim3, pack_tsdf, voxel_centers_axis
+from slambench_tpu.volume import Dim3, pack_tsdf, take_flat, voxel_centers_axis
 
 
 def integrate(tsdf: jax.Array,
@@ -80,7 +80,7 @@ def integrate(tsdf: jax.Array,
 
     ui = jnp.clip(u.astype(jnp.int32), 0, W - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, H - 1)
-    d = jnp.take(depth.reshape(-1), vi * W + ui)
+    d = take_flat(depth.reshape(-1), vi * W + ui)
 
     # Euclidean-ray length correction (cpp:657-661).
     corr = jnp.sqrt(1.0 + (px / pz) ** 2 + (py / pz) ** 2)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from slambench_tpu import params
 from slambench_tpu.geometry import length3, normalize3
 from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
-from slambench_tpu.volume import Dim3, grad, interp
+from slambench_tpu.volume import Dim3, grad, interp, take_flat
 
 # Mip cell edge in voxels. Env-overridable for tuning sweeps (the TPU
 # analogue of the reference's OCLWrapper work-group-size overrides,
@@ -114,7 +114,7 @@ def raycast_fast(tsdf: jax.Array,
     def nearest(pos):
         idx = voxel_idx(pos)
         flat = (idx[2] * sy + idx[1]) * sx + idx[0]
-        return jnp.take(flat_vol, flat).astype(jnp.float32) \
+        return take_flat(flat_vol, flat).astype(jnp.float32) \
             * params.TSDF_INV_SCALE
 
     def mip_at(pos):
@@ -123,7 +123,7 @@ def raycast_fast(tsdf: jax.Array,
         bx = jnp.clip(b[0], 0, mxb - 1)
         by = jnp.clip(b[1], 0, myb - 1)
         bz = jnp.clip(b[2], 0, mzb - 1)
-        return jnp.take(flat_mip, (bz * myb + by) * mxb + bx).astype(
+        return take_flat(flat_mip, (bz * myb + by) * mxb + bx).astype(
             jnp.float32) * params.TSDF_INV_SCALE
 
     def cell_exit_t(pos, t):
@@ -163,11 +163,24 @@ def raycast_fast(tsdf: jax.Array,
     return hit_pos, t_hit
 
 
+# March sub-steps unrolled per while_loop iteration. On the tunneled
+# endpoint each loop iteration carries a large fixed overhead (the
+# device-wide `any` sync + small-op dispatch), so amortizing K steps per
+# iteration wins even though converged rays idle for up to K-1 steps.
+# Env-overridable for tuning sweeps (OCLWrapper work-group analogue).
+MARCH_UNROLL = max(1, int(os.environ.get("SLAMBENCH_MARCH_UNROLL", "4")))
+
+
 def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
-              step: float, large_step: float, max_iters: int) -> dict:
+              step: float, large_step: float, max_iters: int,
+              unroll: int = MARCH_UNROLL) -> dict:
     """The mip-skipping nearest-sample march, parameterized over the
     per-t samplers so the single-volume and sharded-slab raycasts share
-    one implementation. Returns the march state dict (hit, t, t_prev)."""
+    one implementation. Returns the march state dict (hit, t, t_prev).
+
+    ``unroll`` sub-steps run per ``while_loop`` iteration; the masked
+    update rules make the unrolled body produce bit-identical results to
+    the step-per-iteration loop."""
     f_t0 = nearest_t(tnear)
     active = tnear < tfar
     marching = active & (f_t0 > 0)
@@ -185,7 +198,7 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
     def cond(s):
         return jnp.any(~s["done"]) & (s["iters"] < max_iters)
 
-    def body(s):
+    def substep(s):
         live = ~s["done"]
         mip_val = mip_t(s["t"])
         empty = mip_val >= 0.0          # provably no crossing in the cell
@@ -207,7 +220,12 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
         t = jnp.where(cont, t_next, s["t"])
         done = s["done"] | is_hit | (cont & (t >= tfar))
         return dict(t=t, t_prev=t_prev, f_prev=f_prev, stepsize=stepsize,
-                    done=done, hit=hit, iters=s["iters"] + 1)
+                    done=done, hit=hit, iters=s["iters"])
+
+    def body(s):
+        for _ in range(unroll):
+            s = substep(s)
+        return dict(s, iters=s["iters"] + unroll)
 
     return jax.lax.while_loop(cond, body, init)
 

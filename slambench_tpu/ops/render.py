@@ -76,7 +76,13 @@ def render_depth(depth: jax.Array,
 
 
 # ICP diagnostic palette (reference: cpp/kernels.cpp:853-874).
-_TRACK_COLORS = jnp.array([
+# Plain numpy at module scope: a module-level jnp.array would initialize
+# the JAX backend at import time, silently defeating any later
+# SLAMBENCH_PLATFORM selection (utils/backend.select_backend must run
+# before backend init).
+import numpy as _np
+
+_TRACK_COLORS = _np.array([
     [255, 128, 128, 0],   # default
     [128, 128, 128, 0],   # 1: tracked, grey
     [0, 0, 0, 0],         # -1: no input, black
@@ -84,7 +90,7 @@ _TRACK_COLORS = jnp.array([
     [0, 255, 0, 0],       # -3: no correspondence, green
     [0, 0, 255, 0],       # -4: too far, blue
     [255, 255, 0, 0],     # -5: wrong normal, yellow
-], dtype=jnp.uint8)
+], dtype=_np.uint8)
 
 
 def render_track(result: jax.Array) -> jax.Array:
@@ -93,7 +99,7 @@ def render_track(result: jax.Array) -> jax.Array:
         [result == 1, result == -1, result == -2,
          result == -3, result == -4, result == -5],
         [1, 2, 3, 4, 5, 6], 0)
-    return _TRACK_COLORS[idx]
+    return jnp.asarray(_TRACK_COLORS)[idx]
 
 
 def render_volume(tsdf: jax.Array,

@@ -63,8 +63,12 @@ def track(in_vertex: jax.Array,
     v = jnp.clip(py.astype(jnp.int32), 0, H - 1)
     flat = v * W + u
 
-    ref_n = ref_normal.reshape(3, -1)[:, flat]            # [3, h, w]
-    ref_v = ref_vertex.reshape(3, -1)[:, flat]
+    # Pre-clamped gathers (promise_in_bounds avoids the slow clip-mode
+    # gather lowering on TPU — see volume.take_flat).
+    ref_n = ref_normal.reshape(3, -1).at[:, flat].get(
+        mode="promise_in_bounds")                          # [3, h, w]
+    ref_v = ref_vertex.reshape(3, -1).at[:, flat].get(
+        mode="promise_in_bounds")
 
     no_input = in_normal[0] == params.INVALID
     ref_invalid = ref_n[0] == params.INVALID
@@ -155,5 +159,8 @@ def track_and_reduce(in_vertex: jax.Array,
                  t_track, view, dist_threshold, normal_threshold)
     if use_pallas:
         from slambench_tpu.ops.pallas.reduce import reduce_track_pallas
-        return reduce_track_pallas(data), data
+        # Mosaic needs a TPU; everywhere else the kernel runs in the
+        # Pallas interpreter (same numerics, slower — the oracle role).
+        interpret = jax.default_backend() != "tpu"
+        return reduce_track_pallas(data, interpret=interpret), data
     return reduce_track(data), data

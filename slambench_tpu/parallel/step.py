@@ -48,6 +48,7 @@ from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import reduce_track, track
 from slambench_tpu.ops.vertex import depth2vertex, vertex2normal
 from slambench_tpu.pipeline import KFusion, KFusionState
+from slambench_tpu.volume import take_flat
 from slambench_tpu.geometry import length3, normalize3
 
 
@@ -146,7 +147,7 @@ class ShardedKFusion(KFusion):
 
         def vs(x, y, zg):
             idx = (local_z(zg) * sy_ + y) * sx_ + x
-            return jnp.take(flatW, idx).astype(jnp.float32)
+            return take_flat(flatW, idx).astype(jnp.float32)
 
         lx, ly, lz = lower[0], lower[1], lower[2]
         ux, uy, uz = upper[0], upper[1], upper[2]
@@ -233,7 +234,7 @@ class ShardedKFusion(KFusion):
 
         def nearest_t(t):
             x, y, lz = local_idx(t)
-            return jnp.take(flat_ext, (lz * sy + y) * sx + x).astype(
+            return take_flat(flat_ext, (lz * sy + y) * sx + x).astype(
                 jnp.float32) * params.TSDF_INV_SCALE
 
         def mip_t(t):
@@ -241,7 +242,7 @@ class ShardedKFusion(KFusion):
             bx = jnp.clip(x // m, 0, mxb - 1)
             by = jnp.clip(y // m, 0, myb - 1)
             bz = jnp.clip(lz // m, 0, mzb - 1)
-            return jnp.take(flat_mip, (bz * myb + by) * mxb + bx).astype(
+            return take_flat(flat_mip, (bz * myb + by) * mxb + bx).astype(
                 jnp.float32) * params.TSDF_INV_SCALE
 
         def exit_t(t):
@@ -329,7 +330,7 @@ class ShardedKFusion(KFusion):
 
         def vs(x, y, zg):
             zl = jnp.clip(zg - z0_ext, 0, ext_z - 1)
-            return jnp.take(flatW, (zl * sy_ + y) * sx_ + x).astype(
+            return take_flat(flatW, (zl * sy_ + y) * sx_ + x).astype(
                 jnp.float32)
 
         def trilerp(sample):

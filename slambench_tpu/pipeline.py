@@ -95,7 +95,12 @@ class KFusion:
                  backend: str = "fast"):
         # "jnp": the oracle trilinear march (reference-exact sampling);
         # "fast"/"auto": min-mip accelerated raycast (same hits, ~10x
-        # fewer volume reads).
+        # fewer volume reads); "pallas": fast raycast + the hand-written
+        # Pallas reduction/stencil kernels (Mosaic-compiled on TPU,
+        # interpreter elsewhere).
+        if backend not in ("jnp", "fast", "pallas", "auto"):
+            raise ValueError(
+                f"unknown backend {backend!r}: use jnp|fast|pallas|auto")
         if backend == "auto":
             backend = "fast"
         W, H = computation_size
@@ -173,7 +178,16 @@ class KFusion:
         in_h, in_w = input_depth.shape
         ratio = in_w // self.W
         fd = mm2meters(input_depth, ratio)
-        sd0 = bilateral_filter(fd, self.gaussian, params.E_DELTA, params.RADIUS)
+        if self.backend == "pallas":
+            from slambench_tpu.ops.pallas.bilateral import (
+                bilateral_filter_pallas,
+            )
+            sd0 = bilateral_filter_pallas(
+                fd, np.asarray(self.gaussian), params.E_DELTA,
+                params.RADIUS, interpret=jax.default_backend() != "tpu")
+        else:
+            sd0 = bilateral_filter(fd, self.gaussian, params.E_DELTA,
+                                   params.RADIUS)
         return dataclasses.replace(state, float_depth=fd, scaled_depth0=sd0)
 
     def _build_pyramid(self, sd0: jax.Array) -> List[jax.Array]:

@@ -85,9 +85,12 @@ def sweep_mip(values, resolution: int, iters: int, out=sys.stdout):
 
     n = resolution
     dim = (4.8, 4.8, 4.8)
-    # Synthetic scene: a solid floor slab (negative below z=2.4 m).
+    # Synthetic scene: a solid wall beyond z=2.4 m. TSDF is positive in
+    # free space (in front of the surface, where the camera at z=0.2
+    # sits) and negative inside it, so rays march through free space and
+    # cross +->- at the slab — the sign convention the march requires.
     z = (np.arange(n, dtype=np.float32) + 0.5) * (dim[2] / n)
-    sdf = np.clip((z - 2.4) / 0.1, -1.0, 1.0).astype(np.float32)
+    sdf = np.clip((2.4 - z) / 0.1, -1.0, 1.0).astype(np.float32)
     tsdf = jnp.asarray(np.broadcast_to(
         sdf[:, None, None], (n, n, n)).copy())
     tsdf = pack_tsdf(tsdf)
@@ -110,7 +113,12 @@ def sweep_mip(values, resolution: int, iters: int, out=sys.stdout):
                                 params.NEAR_PLANE, params.FAR_PLANE,
                                 step, 0.075, m=m)[1]
 
-        _fetch(rc(tsdf, mip, view))
+        th = rc(tsdf, mip, view)
+        hit_frac = float(np.mean(np.asarray(th) > 0))
+        if hit_frac < 0.5:
+            raise RuntimeError(
+                f"mip sweep scene degenerate: only {hit_frac:.0%} of rays "
+                "hit the wall — the timing would measure an empty march")
         v = view
         t0 = time.monotonic()
         for _ in range(iters):
@@ -120,7 +128,7 @@ def sweep_mip(values, resolution: int, iters: int, out=sys.stdout):
         _fetch(t_hit)
         ns = (time.monotonic() - t0) / iters * 1e9
         print(f"raycast[mip_block={m}] {ns:.0f} {240 * 320}", file=out)
-        rows.append((m, ns, 0.0))
+        rows.append((m, ns, hit_frac))
     return rows
 
 

@@ -1,0 +1,195 @@
+"""Mosaic (Pallas TPU) capability + XLA gather-mode probe.
+
+The committed, re-runnable evidence behind this framework's kernel-tier
+decisions (PROFILE.md): which gather forms Mosaic can compile at all,
+how the Pallas ICP reduction compares to the XLA Gram contraction on
+hardware, and how XLA's gather throughput behaves vs index shape, table
+size and bounds mode.
+
+Findings on the v5e endpoint (2026-08, jax 0.9 / Mosaic):
+  * ``jnp.take`` of a flat index array inside a kernel: REJECTED
+    ("Only 2D gather is supported").
+  * ``take_along_axis(axis=-1)`` (lane gather): compiles and runs.
+  * ``take_along_axis(axis=0)`` (sublane gather): compiler crash.
+  => an exact TSDF-integrate or raycast kernel (both need arbitrary 2-D
+  image/volume gathers) is NOT expressible in this Mosaic generation;
+  the XLA gather lowering is the only exact path. See PROFILE.md.
+
+  * XLA's default clip-mode gather can lower ~1000x slower than
+    ``promise_in_bounds`` for some index shapes — every clamped gather
+    in this codebase therefore goes through volume.take_flat.
+
+Usage:  python -m slambench_tpu.tools.mosaic_probe [--json out.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, reps):
+    import jax
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.monotonic()
+    r = fn(*args)
+    jax.block_until_ready(r)
+    _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+    return (time.monotonic() - t0) / reps
+
+
+def probe_mosaic_gathers(out: dict) -> None:
+    """Which gather forms does Mosaic compile?"""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def try_kernel(name, kernel, table, idx):
+        @jax.jit
+        def run(table, idx):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(table, idx)
+
+        try:
+            r = run(table, idx)
+            r.block_until_ready()
+            out[name] = {"ok": True}
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"ok": False, "err": str(e).split("\n")[0][:200]}
+        print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+
+    import jax.numpy as jnp
+    tbl2d = jnp.asarray(np.random.rand(256, 128).astype(np.float32))
+    flat_idx = jnp.asarray(
+        np.random.randint(0, 256 * 128, (256, 128)).astype(np.int32))
+    lane_idx = jnp.asarray(
+        np.random.randint(0, 128, (256, 128)).astype(np.int32))
+    sub_idx = jnp.asarray(
+        np.random.randint(0, 256, (256, 128)).astype(np.int32))
+
+    try_kernel("mosaic_take_flat",
+               lambda t, i, o: o.__setitem__(
+                   slice(None), jnp.take(t[:].reshape(-1), i[:], axis=0)),
+               tbl2d, flat_idx)
+    try_kernel("mosaic_take_along_lane",
+               lambda t, i, o: o.__setitem__(
+                   slice(None), jnp.take_along_axis(t[:], i[:], axis=1)),
+               tbl2d, lane_idx)
+    try_kernel("mosaic_take_along_sublane",
+               lambda t, i, o: o.__setitem__(
+                   slice(None), jnp.take_along_axis(t[:], i[:], axis=0)),
+               tbl2d, sub_idx)
+
+
+def probe_pallas_reduce(out: dict, reps: int = 20) -> None:
+    """Pallas vs XLA ICP reduction, compiled on the current backend."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu.ops.track import reduce_track
+    from slambench_tpu.ops.pallas.reduce import reduce_track_pallas
+
+    H, W = 240, 320
+    interpret = jax.default_backend() != "tpu"
+    data = {
+        "result": jnp.asarray(np.random.choice(
+            [1, -1, -4, -5], (H, W)).astype(np.int32)),
+        "error": jnp.asarray(np.random.randn(H, W).astype(np.float32)),
+        "J": jnp.asarray(np.random.randn(6, H, W).astype(np.float32)),
+    }
+    rp = reduce_track_pallas(data, interpret=interpret)
+    rx = reduce_track(data)
+    relerr = float(np.abs(np.asarray(rp) - np.asarray(rx)).max()
+                   / max(1.0, float(np.abs(np.asarray(rx)).max())))
+    out["pallas_reduce_relerr"] = relerr
+
+    def chained(fn):
+        @jax.jit
+        def run(d):
+            def body(i, acc):
+                return fn({"result": d["result"],
+                           "error": d["error"] + acc[0] * 1e-20,
+                           "J": d["J"]})
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros(32))
+        return run
+
+    tp = _timeit(chained(lambda d: reduce_track_pallas(
+        d, interpret=interpret)), data, reps=reps)
+    tx = _timeit(chained(reduce_track), data, reps=reps)
+    out["pallas_reduce_us"] = round(tp * 1e6, 1)
+    out["xla_reduce_us"] = round(tx * 1e6, 1)
+    print(f"reduce pallas {tp*1e6:.0f}us xla {tx*1e6:.0f}us "
+          f"relerr {relerr:.2e}", file=sys.stderr, flush=True)
+
+
+def probe_gather_modes(out: dict, reps: int = 4) -> None:
+    """XLA gather ns/element: clip vs promise_in_bounds, small vs
+    volume-sized tables, 77k vs 16M counts."""
+    import jax
+    import jax.numpy as jnp
+
+    H, W, V = 240, 320, 256
+    small = jnp.asarray(np.random.rand(H * W).astype(np.float32))
+    vol = jnp.asarray((np.random.rand(V ** 3) * 100).astype(np.int16))
+
+    def bench(name, table, idx, mode):
+        @jax.jit
+        def run(idx, table):
+            def body(i, acc):
+                j = idx + (acc[0, 0] * 0).astype(jnp.int32)
+                return acc + table.at[j].get(mode=mode).astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body,
+                                     jnp.zeros(idx.shape, jnp.float32))
+        dt = _timeit(run, idx, table, reps=reps)
+        out[name] = round(dt / idx.size * 1e9, 2)
+        print(f"{name}: {out[name]} ns/elem", file=sys.stderr, flush=True)
+
+    for rows, label in ((600, "77k"), (131072, "16M")):
+        idx_s = jnp.asarray(np.random.randint(
+            0, H * W, (rows, 128)).astype(np.int32))
+        bench(f"gather_small_clip_{label}", small, idx_s, "clip")
+        bench(f"gather_small_pib_{label}", small, idx_s,
+              "promise_in_bounds")
+        idx_v = jnp.asarray(np.random.randint(
+            0, V ** 3, (rows, 128)).astype(np.int32))
+        bench(f"gather_vol_pib_{label}", vol, idx_v, "promise_in_bounds")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="")
+    ap.add_argument("--skip-slow", action="store_true",
+                    help="skip the gather-mode sweep (clip mode on some "
+                         "shapes takes ~minutes by itself)")
+    args = ap.parse_args(argv)
+
+    import jax
+    out = {"backend": jax.default_backend()}
+    if jax.default_backend() == "tpu":
+        probe_mosaic_gathers(out)
+    else:
+        print("(not on TPU: Mosaic capability probe skipped)",
+              file=sys.stderr)
+    probe_pallas_reduce(out)
+    if not args.skip_slow and jax.default_backend() == "tpu":
+        probe_gather_modes(out)
+    text = json.dumps(out, indent=1)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(text)
+    print(text)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

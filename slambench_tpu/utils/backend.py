@@ -70,7 +70,14 @@ def select_device(env: str = "SLAMBENCH_DEVICE"):
         return None
     import jax
     devices = jax.devices()
-    idx = int(val)
+    try:
+        idx = int(val)
+    except ValueError:
+        # Degrade like the out-of-range case (a typo'd ordinal should not
+        # abort the run; the reference warns and falls back too).
+        print(f"SLAMBENCH_DEVICE={val!r} is not a device ordinal; "
+              "using default", file=sys.stderr)
+        return None
     if not 0 <= idx < len(devices):
         print(f"SLAMBENCH_DEVICE={idx} out of range "
               f"(have {len(devices)} devices); using default",

@@ -92,6 +92,11 @@ class PowerMonitor:
     def sample(self) -> None:
         """Sample all rails into power_stats
         (reference: PowerMonitor.cpp:114-145)."""
+        # Record the sample timestamp so total_energy can integrate
+        # watts over real intervals (the reference integrates its
+        # power.rpt the same way, thirdparty/processPowerRpt).
+        self.power_stats.sample("sample_t", time.monotonic(),
+                                StatType.TIME)
         if self.sensor == SensorType.ODROID:
             for name, path in self._odroid.items():
                 try:
@@ -119,15 +124,16 @@ class PowerMonitor:
         # DUMMY: no-op.
 
     def total_energy(self, label: Optional[str] = None) -> float:
-        """Integrated energy (J) from the sampled power series."""
+        """Integrated energy (J) from the sampled power series: right-
+        endpoint rectangle rule against the sample_t timestamps recorded
+        by ``sample()`` (reference: processPowerRpt integrates the
+        power.rpt columns the same way)."""
         total = 0.0
+        times = self.power_stats.get("sample_t")
         for key in self.power_stats.keys:
-            if label and label not in key:
+            if key == "sample_t" or (label and label not in key):
                 continue
             samples = self.power_stats.get(key)
-            # Samples are watts at ~fixed cadence; integrate vs the TIME
-            # series when present, else skip.
-            times = self.power_stats.get("sample_t")
             if len(times) == len(samples) and len(samples) > 1:
                 for i in range(1, len(samples)):
                     total += samples[i] * (times[i] - times[i - 1])

@@ -56,6 +56,17 @@ def voxel_centers_axis(size: int, dim: float) -> jax.Array:
     return ((jnp.arange(size, dtype=jnp.float32) + 0.5) * (dim / size))
 
 
+def take_flat(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather ``table[idx]`` from a 1-D table of PRE-CLAMPED indices.
+
+    ``promise_in_bounds`` matters enormously on TPU: the default
+    clip-mode gather lowers to a pathologically slow path for some index
+    shapes (measured up to ~1000x slower, see PROFILE.md); every caller
+    here clamps its indices first, so the promise is free.
+    """
+    return table.at[idx].get(mode="promise_in_bounds")
+
+
 def _vs(tsdf: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     """Raw short value at integer voxel coords (already in range).
 
@@ -64,7 +75,7 @@ def _vs(tsdf: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     """
     sz, sy, sx = tsdf.shape
     flat = (z * sy + y) * sx + x
-    return jnp.take(tsdf.reshape(-1), flat).astype(jnp.float32)
+    return take_flat(tsdf.reshape(-1), flat).astype(jnp.float32)
 
 
 def interp(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:

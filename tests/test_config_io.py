@@ -50,6 +50,21 @@ def test_parse_args_validation_accumulates():
     assert e.value.code == 1
 
 
+def test_parse_args_backend_validated():
+    for good in ("jnp", "fast", "pallas", "auto"):
+        assert parse_args(["--backend", good]).backend == good
+    # A typo'd backend must fail loudly, not silently benchmark the
+    # wrong thing.
+    with pytest.raises(SystemExit):
+        parse_args(["--backend", "palas"])
+
+
+def test_parse_args_blocking_read():
+    assert parse_args([]).blocking_read is False
+    assert parse_args(["-b"]).blocking_read is True
+    assert parse_args(["--blocking-read"]).blocking_read is True
+
+
 def test_raw_roundtrip(tmp_path):
     path = str(tmp_path / "t.raw")
     frames = [(np.arange(12 * 16) % 4000).astype(np.uint16).reshape(12, 16)
@@ -80,18 +95,47 @@ def test_raw_reader_sequential(tmp_path):
     assert int(rd.read_next_depth_frame()[0, 0]) == 0
 
 
-def test_make_reader_dispatch(tmp_path):
+def test_make_reader_dispatch(tmp_path, monkeypatch):
+    from slambench_tpu.io.readers import NativeBackedRawReader
     path = str(tmp_path / "t.raw")
     with RawWriter(path, 16, 12) as w:
         w.write(np.zeros((12, 16), np.uint16))
+    # Native loader preferred when libslamio builds, numpy otherwise.
     r = make_reader(path)
-    assert isinstance(r, RawDepthReader)
+    assert isinstance(r, (RawDepthReader, NativeBackedRawReader))
+    # Forcing the pure-numpy reader must work (fallback path).
+    monkeypatch.setenv("SLAMBENCH_NATIVE_IO", "0")
+    assert isinstance(make_reader(path), RawDepthReader)
     # .scf indirection (reference: reader.cpp:38-170).
     scf = tmp_path / "scene.scf"
     scf.write_text(f'input_file = "t.raw"\n')
     r2 = make_reader(str(scf))
     assert isinstance(r2, RawDepthReader)
     assert make_reader(str(tmp_path / "missing.nope")) is None
+
+
+def test_native_reader_matches_numpy_reader(tmp_path):
+    """The native mmap loader and the numpy reader must produce identical
+    frames (interface.h:199-318's contract)."""
+    from slambench_tpu.io import native
+    if not native.available():
+        pytest.skip("libslamio.so not built")
+    from slambench_tpu.io.readers import NativeBackedRawReader
+    path = str(tmp_path / "t.raw")
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 5000, (12, 16)).astype(np.uint16)
+              for _ in range(3)]
+    with RawWriter(path, 16, 12) as w:
+        for f in frames:
+            w.write(f)
+    rn = NativeBackedRawReader(path)
+    rp = RawDepthReader(path)
+    assert rn.get_input_size() == rp.get_input_size()
+    for f in frames:
+        a, b = rn.read_next_depth_frame(), rp.read_next_depth_frame()
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, f)
+    assert rn.read_next_depth_frame() is None
 
 
 def test_scene_depth_reader(tmp_path):

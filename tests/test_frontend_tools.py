@@ -7,6 +7,7 @@ import json
 import os
 import struct
 import threading
+import urllib.error
 import urllib.request
 import zlib
 
@@ -99,13 +100,48 @@ def test_http_endpoints_serve_state_and_controls():
         assert stats["frame"] == 7 and stats["series"]["fps"] == [1.5]
         png = urllib.request.urlopen(base + "/tile.png", timeout=5).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
-        body = urllib.request.urlopen(
-            base + "/control?cmd=pause", timeout=5).read()
-        assert body == b"PAUSED"
+        # Mutations need the per-run CSRF token (embedded in the page).
         html = urllib.request.urlopen(base + "/", timeout=5).read()
-        assert b"dashboard" in html
+        assert b"dashboard" in html and s.token.encode() in html
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + "/control?cmd=pause", timeout=5)
+        assert e.value.code == 403
+        body = urllib.request.urlopen(
+            base + f"/control?cmd=pause&token={s.token}", timeout=5).read()
+        assert body == b"PAUSED"
     finally:
         httpd.shutdown()
+
+
+def test_http_reconfig_endpoint_queues_changes():
+    """Runtime parameter reconfiguration (the reference's Qt dropdown
+    rebuild, qt/SlamBenchQt.cpp:347-362) over HTTP."""
+    s = DashboardState()
+    httpd = serve(s, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                base + "/reconfig?volume_resolution=128", timeout=5)
+        assert e.value.code == 403
+        body = urllib.request.urlopen(
+            base + f"/reconfig?volume_resolution=128&integration_rate=3"
+                   f"&token={s.token}", timeout=5).read()
+        assert body == b"RECONFIG"
+        assert s.take_reconfig() == {"volume_resolution": "128",
+                                     "integration_rate": "3"}
+        assert s.take_reconfig() is None
+    finally:
+        httpd.shutdown()
+
+
+def test_series_history_is_bounded():
+    s = DashboardState()
+    for i in range(DashboardState.MAX_POINTS + 50):
+        s.publish(i, True, True, (0, 0, 0), {"fps": float(i)}, None)
+    assert len(s.series["fps"]) == DashboardState.MAX_POINTS
+    assert s.series["fps"][-1] == float(DashboardState.MAX_POINTS + 49)
 
 
 # --- rc persistence (reference: .kfusion_kinectrc) ---------------------

@@ -27,14 +27,15 @@ def dataset(tmp_path_factory):
 def _run(kf, man, n_frames=16):
     rd = RawDepthReader(man["raw"])
     state = kf.init_state()
-    errs = []
+    errs, positions = [], []
     for frame in range(n_frames):
         d = rd.read_next_depth_frame()
         state = kf.process_frame(state, jnp.asarray(np.ascontiguousarray(d)),
                                  frame)
-        errs.append(np.linalg.norm(
-            np.asarray(state.pose[:3, 3]) - man["poses"][frame, :3, 3]))
-    return np.asarray(errs), state
+        positions.append(np.asarray(state.pose[:3, 3]))
+        errs.append(np.linalg.norm(positions[-1]
+                                   - man["poses"][frame, :3, 3]))
+    return np.asarray(errs), np.asarray(positions), state
 
 
 def test_shard_count_invariance(dataset):
@@ -45,19 +46,21 @@ def test_shard_count_invariance(dataset):
     # The sharded path shares the fast backend's march semantics;
     # compare against the single-device fast backend (oracle-vs-fast
     # parity is covered in test_raycast_fast.py).
-    errs1, s1 = _run(KFusion(*args, backend="fast"), man)
-    errs4, s4 = _run(ShardedKFusion(*args, mesh=make_mesh(4)), man)
-    errs8, s8 = _run(ShardedKFusion(*args, mesh=make_mesh(8)), man)
+    errs1, pos1, s1 = _run(KFusion(*args, backend="fast"), man)
+    errs4, pos4, s4 = _run(ShardedKFusion(*args, mesh=make_mesh(4)), man)
+    errs8, pos8, s8 = _run(ShardedKFusion(*args, mesh=make_mesh(8)), man)
 
     assert bool(s1.tracked) and bool(s4.tracked) and bool(s8.tracked)
     # All within the accuracy gate...
     for e in (errs1, errs4, errs8):
         assert e.mean() < 0.06
-    # ...and trajectories agree closely across shard counts (the slab
-    # march re-samples at slab entry, so exact bitwise equality is not
-    # expected — but pose error must stay within a few millimetres).
-    assert abs(errs4.mean() - errs1.mean()) < 0.01
-    assert abs(errs8.mean() - errs1.mean()) < 0.01
+    # ...and the per-frame POSE trajectories agree across shard counts
+    # to well under a voxel (7.5 cm voxels here): a halo off-by-one
+    # costing millimetres would fail this, unlike a mean-ATE bound.
+    voxel = man["dim"][2] / 64
+    for pos_n in (pos4, pos8):
+        d = np.linalg.norm(pos_n - pos1, axis=1)
+        assert d.max() < voxel / 10, f"pose divergence {d.max():.4f} m"
 
 
 def test_slab_raycast_matches_single_device():

@@ -3,6 +3,8 @@ checkpoint helpers, trajectory formats."""
 
 import io
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -46,6 +48,29 @@ def test_power_monitor_never_crashes():
     pm.start()
     pm.sample()
     pm.sample()  # DUMMY mode in containers: no-ops, no exceptions
+
+
+def test_power_total_energy_integrates_watts():
+    """A synthetic 2 W series sampled at 1 s intervals must integrate to
+    2 J/interval (reference: PowerMonitor.cpp:114-145 + processPowerRpt's
+    power->energy integration)."""
+    from slambench_tpu.utils.perfstats import StatType
+    pm = PowerMonitor()
+    pm.power_stats.reset()
+    for t, w in ((10.0, 2.0), (11.0, 2.0), (12.0, 2.0)):
+        pm.power_stats.sample("sample_t", t, StatType.TIME)
+        pm.power_stats.sample("Power_pkg", w, StatType.POWER)
+    assert pm.total_energy() == pytest.approx(4.0)
+    assert pm.total_energy("pkg") == pytest.approx(4.0)
+    assert pm.total_energy("nope") == 0.0
+
+
+def test_power_sample_records_timestamps():
+    pm = PowerMonitor()
+    pm.start()
+    pm.sample()
+    pm.sample()
+    assert len(pm.power_stats.get("sample_t")) == 2
 
 
 def test_comparators_count_mismatches():
