@@ -14,6 +14,12 @@ over the *reduction* and *stencil* structure:
 
 Each kernel is validated buffer-by-buffer against the jnp oracle in
 tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+
+Measured on the real chip (PROFILE.md §4-5, profiles/r2_mosaic_probe
+.json): the Mosaic gather limits are confirmed empirically (flat takes
+rejected, sublane gathers crash the compiler), and the Pallas reduction
+TIES the XLA Gram contraction (2537 vs 2511 us) — so the Pallas tier is
+a supported alternative backend, not the default.
 """
 
 from slambench_tpu.ops.pallas.reduce import reduce_track_pallas

@@ -69,6 +69,25 @@ def make_min_mip(tsdf: jax.Array, m: int = MIP_BLOCK) -> jax.Array:
     return out
 
 
+# Second-level skip cell, in first-level cells (covers m*MIP2_BLOCK
+# voxels — 32 at the defaults). Level-1 cells already overlap by one
+# voxel, so a plain non-overlapping min-pool of the level-1 mip bounds
+# every trilinear sample whose base voxel lies in the level-2 cell:
+# cell I covers level-1 cells [4I, 4I+4), i.e. voxels [32I, 32I+32]
+# inclusive. Sky rays (the trip-count-critical population — every march
+# iteration gathers for ALL rays, so the max ray length sets the cost)
+# cross the volume in ~diag/(m*m2*voxel) hops instead of ~diag/(m*voxel).
+MIP2_BLOCK = int(os.environ.get("SLAMBENCH_MIP2_BLOCK", "4"))
+
+
+def make_min_mip2(mip: jax.Array, m2: int = MIP2_BLOCK) -> jax.Array:
+    """Non-overlapping min-pool of the level-1 mip (see MIP2_BLOCK)."""
+    return jax.lax.reduce_window(
+        mip, jnp.int16(32767), jax.lax.min,
+        window_dimensions=(m2, m2, m2), window_strides=(m2, m2, m2),
+        padding=[(0, (-mip.shape[i]) % m2) for i in range(3)])
+
+
 def raycast_fast(tsdf: jax.Array,
                  mip: jax.Array,
                  dim: Dim3,
@@ -79,7 +98,9 @@ def raycast_fast(tsdf: jax.Array,
                  step: float,
                  large_step: float,
                  m: int = MIP_BLOCK,
-                 t_init: jax.Array | None = None
+                 t_init: jax.Array | None = None,
+                 nscan: int | None = None,
+                 fp_iters: int | None = None
                  ) -> Tuple[jax.Array, jax.Array]:
     """Accelerated raycast; same contract as ops.raycast.raycast.
 
@@ -103,6 +124,12 @@ def raycast_fast(tsdf: jax.Array,
     flat_vol = tsdf.reshape(-1)
     flat_mip = mip.reshape(-1)
     mzb, myb, mxb = mip.shape
+    # Level-2 skip table: derived from the mip on the fly (tiny — e.g.
+    # 8^3 int16 at 256^3/defaults), so it needs no pipeline state.
+    m2 = MIP2_BLOCK
+    mip2 = make_min_mip2(mip, m2)
+    flat_mip2 = mip2.reshape(-1)
+    m2zb, m2yb, m2xb = mip2.shape
 
     limit = jnp.array([sx - 1, sy - 1, sz - 1],
                       jnp.int32).reshape(3, 1, 1)
@@ -126,12 +153,22 @@ def raycast_fast(tsdf: jax.Array,
         return take_flat(flat_mip, (bz * myb + by) * mxb + bx).astype(
             jnp.float32) * params.TSDF_INV_SCALE
 
-    def cell_exit_t(pos, t):
-        """Ray parameter at which the current mip cell is exited."""
+    def mip2_at(pos):
         idx = voxel_idx(pos)
-        b = (idx // m).astype(jnp.float32)
-        cell_lo = b * (m * voxel)
-        cell_hi = cell_lo + (m * voxel)
+        b = idx // (m * m2)
+        bx = jnp.clip(b[0], 0, m2xb - 1)
+        by = jnp.clip(b[1], 0, m2yb - 1)
+        bz = jnp.clip(b[2], 0, m2zb - 1)
+        return take_flat(flat_mip2, (bz * m2yb + by) * m2xb + bx).astype(
+            jnp.float32) * params.TSDF_INV_SCALE
+
+    def cell_exit_t(pos, t, cell: int):
+        """Ray parameter at which the current size-``cell`` (voxels,
+        axis-aligned) skip cell is exited."""
+        idx = voxel_idx(pos)
+        b = (idx // cell).astype(jnp.float32)
+        cell_lo = b * (cell * voxel)
+        cell_hi = cell_lo + (cell * voxel)
         d = jnp.where(direction == 0, 1e-20, direction)
         t_axis = jnp.where(d > 0, (cell_hi - pos) / d, (cell_lo - pos) / d)
         dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
@@ -144,7 +181,13 @@ def raycast_fast(tsdf: jax.Array,
         return mip_at(o + direction * t[None])
 
     def exit_t(t):
-        return cell_exit_t(o + direction * t[None], t)
+        return cell_exit_t(o + direction * t[None], t, m)
+
+    def mip2_t(t):
+        return mip2_at(o + direction * t[None])
+
+    def exit2_t(t):
+        return cell_exit_t(o + direction * t[None], t, m * m2)
 
     def tri_t(t):
         return interp(tsdf, dim, o + direction * t[None])
@@ -155,8 +198,12 @@ def raycast_fast(tsdf: jax.Array,
         + int((far_plane - near_plane) / large_step) + 16
 
     out = mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
-                    step, large_step, max_iters)
-    t_hit = rescan_refine(tri_t, out, step)
+                    step, large_step, max_iters,
+                    mip2_t=mip2_t, exit2_t=exit2_t)
+    t_hit = rescan_refine(tri_t, out, step,
+                          nscan=nscan or RAYCAST_NSCAN,
+                          fp_iters=(RAYCAST_REFINE_ITERS
+                                    if fp_iters is None else fp_iters))
 
     hit_pos = o + direction * t_hit[None]
     hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
@@ -173,14 +220,22 @@ MARCH_UNROLL = max(1, int(os.environ.get("SLAMBENCH_MARCH_UNROLL", "4")))
 
 def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
               step: float, large_step: float, max_iters: int,
-              unroll: int = MARCH_UNROLL) -> dict:
+              unroll: int = MARCH_UNROLL,
+              mip2_t=None, exit2_t=None) -> dict:
     """The mip-skipping nearest-sample march, parameterized over the
     per-t samplers so the single-volume and sharded-slab raycasts share
     one implementation. Returns the march state dict (hit, t, t_prev).
 
     ``unroll`` sub-steps run per ``while_loop`` iteration; the masked
     update rules make the unrolled body produce bit-identical results to
-    the step-per-iteration loop."""
+    the step-per-iteration loop.
+
+    ``mip2_t``/``exit2_t`` (optional, both or neither) add a coarser
+    second skip level: a ray in a provably-empty level-2 cell jumps to
+    that cell's exit. Every march iteration gathers for ALL rays (done
+    lanes included — lockstep vectors), so the longest ray sets the
+    cost; the level-2 skip shortens exactly those longest (empty-space /
+    sky) rays."""
     f_t0 = nearest_t(tnear)
     active = tnear < tfar
     marching = active & (f_t0 > 0)
@@ -202,15 +257,22 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
         live = ~s["done"]
         mip_val = mip_t(s["t"])
         empty = mip_val >= 0.0          # provably no crossing in the cell
+        if mip2_t is not None:
+            empty2 = mip2_t(s["t"]) >= 0.0   # whole level-2 cell empty
+            empty = empty | empty2
         f_tt = nearest_t(s["t"])
 
         is_hit = live & ~empty & (f_tt < 0.0)
         hit = s["hit"] | is_hit
 
-        # Empty cell: jump to its exit; occupied: reference stepping.
+        # Empty cell: jump to its exit (the level-2 exit when the whole
+        # coarse cell is provably empty); occupied: reference stepping.
         new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
         t_step = s["t"] + new_step
         t_skip = jnp.maximum(exit_t(s["t"]), t_step)
+        if mip2_t is not None:
+            t_skip = jnp.where(empty2,
+                               jnp.maximum(exit2_t(s["t"]), t_step), t_skip)
         t_next = jnp.where(empty, t_skip, t_step)
 
         cont = live & ~is_hit
@@ -230,31 +292,53 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
     return jax.lax.while_loop(cond, body, init)
 
 
-def rescan_refine(tri_t, out: dict, step: float, nscan: int = 6) -> jax.Array:
+# Refinement budget: the rescan subdivision count and the number of
+# false-position polish iterations. Each unit is one trilinear
+# evaluation = 8 volume gathers for EVERY ray — at 320x240 the refine
+# stage is ~half the raycast's gather population (PROFILE.md §2), so
+# these are the raycast's main cost knobs. Swept on hardware by
+# tools/autotune (OCLWrapper work-group-override analogue); accuracy
+# guard: the fast-vs-oracle parity tests + the bench ATE gate.
+#   Sweep evidence (tools/autotune refine, undulating-wall scene):
+#   (8,4) and (4,3) agree to <1e-4 voxel; (3,2) drifts 1e-4 voxel.
+#   Defaults (4,2) keep a margin over the measured floor at 7 trilinear
+#   evaluations instead of the round-1 11.
+RAYCAST_NSCAN = int(os.environ.get("SLAMBENCH_RAYCAST_NSCAN", "4"))
+RAYCAST_REFINE_ITERS = int(os.environ.get("SLAMBENCH_RAYCAST_REFINE", "2"))
+
+
+def rescan_refine(tri_t, out: dict, step: float,
+                  nscan: int = RAYCAST_NSCAN,
+                  fp_iters: int = RAYCAST_REFINE_ITERS) -> jax.Array:
     """Re-bracket the nearest-sample crossing on the true trilinear field
     with a short uniform scan over [t_prev, t + step], then polish with
-    3 false-position iterations. Returns t_hit (0 where no hit)."""
+    ``fp_iters`` false-position iterations. Returns t_hit (0 where no
+    hit). Total trilinear evaluations: nscan + 1 + fp_iters."""
     hit = out["hit"]
     ta = out["t_prev"]
     tb = out["t"] + step
     dtm = (tb - ta) / nscan
 
-    f0_run = tri_t(ta)
+    f_run = tri_t(ta)
     t0 = ta
-    f0 = f0_run
+    f0 = f_run
     t1 = tb
-    f1 = tri_t(tb)
+    f1 = jnp.zeros_like(f_run)
     found = jnp.zeros_like(hit)
-    for j in range(nscan):
-        tj = ta + dtm * (j + 1.0)
+    fj = f_run
+    for j in range(1, nscan + 1):
+        tj = ta + dtm * j
         fj = tri_t(tj)
-        cross = ~found & (f0_run > 0) & (fj < 0)
-        t0 = jnp.where(cross, ta + dtm * j, t0)
-        f0 = jnp.where(cross, f0_run, f0)
+        cross = ~found & (f_run > 0) & (fj < 0)
+        t0 = jnp.where(cross, ta + dtm * (j - 1.0), t0)
+        f0 = jnp.where(cross, f_run, f0)
         t1 = jnp.where(cross, tj, t1)
         f1 = jnp.where(cross, fj, f1)
         found = found | cross
-        f0_run = fj
+        f_run = fj
+    # No-crossing default bracket endpoint: the scan's final (tb)
+    # evaluation — no separate tri_t(tb) dispatch needed.
+    f1 = jnp.where(found, f1, fj)
 
     def refine(carry, _):
         t0, f0, t1, f1 = carry
@@ -269,7 +353,7 @@ def rescan_refine(tri_t, out: dict, step: float, nscan: int = 6) -> jax.Array:
         return (t0n, f0n, t1n, f1n), None
 
     (t0r, f0r, t1r, f1r), _ = jax.lax.scan(refine, (t0, f0, t1, f1),
-                                           None, length=3)
+                                           None, length=fp_iters)
     denom = f0r - f1r
     t_ref = t1r + jnp.where(denom == 0, 0.0, (t1r - t0r) * f1r / denom)
     # No trilinear crossing in the rescan window (rare grazing case):

@@ -64,11 +64,13 @@ def track(in_vertex: jax.Array,
     flat = v * W + u
 
     # Pre-clamped gathers (promise_in_bounds avoids the slow clip-mode
-    # gather lowering on TPU — see volume.take_flat).
-    ref_n = ref_normal.reshape(3, -1).at[:, flat].get(
-        mode="promise_in_bounds")                          # [3, h, w]
-    ref_v = ref_vertex.reshape(3, -1).at[:, flat].get(
-        mode="promise_in_bounds")
+    # gather lowering on TPU — see volume.take_flat). The two reference
+    # maps ride ONE gather: per-gather-op cost dominates at pyramid
+    # sizes on TPU (PROFILE.md), so 6 channels x 1 op beats 3 x 2 ops.
+    refs = jnp.concatenate([ref_normal.reshape(3, -1),
+                            ref_vertex.reshape(3, -1)], axis=0)
+    ref_nv = refs.at[:, flat].get(mode="promise_in_bounds")  # [6, h, w]
+    ref_n, ref_v = ref_nv[:3], ref_nv[3:]
 
     no_input = in_normal[0] == params.INVALID
     ref_invalid = ref_n[0] == params.INVALID

@@ -344,15 +344,22 @@ class ShardedKFusion(KFusion):
                        + (c011 * (1 - fx) + c111 * fx) * fy) * fz)
 
         xs = (lo[0], up[0]); ys = (lo[1], up[1]); zs = (lo[2], up[2])
-        gx = trilerp(lambda i, j, k:
-                     vs(up[0] if i == 0 else uu[0], ys[j], zs[k])
-                     - vs(ll[0] if i == 0 else lo[0], ys[j], zs[k]))
-        gy = trilerp(lambda i, j, k:
-                     vs(xs[i], up[1] if j == 0 else uu[1], zs[k])
-                     - vs(xs[i], ll[1] if j == 0 else lo[1], zs[k]))
-        gz = trilerp(lambda i, j, k:
-                     vs(xs[i], ys[j], up[2] if k == 0 else uu[2])
-                     - vs(xs[i], ys[j], ll[2] if k == 0 else lo[2]))
+        # 32-distinct-point dedup of the 48 stencil endpoints — see
+        # volume.grad for the derivation (bit-identical results).
+        C = {(i, j, k): vs(xs[i], ys[j], zs[k])
+             for i in (0, 1) for j in (0, 1) for k in (0, 1)}
+        XW = {(a, j, k): vs((ll[0], uu[0])[a], ys[j], zs[k])
+              for a in (0, 1) for j in (0, 1) for k in (0, 1)}
+        YW = {(i, b, k): vs(xs[i], (ll[1], uu[1])[b], zs[k])
+              for i in (0, 1) for b in (0, 1) for k in (0, 1)}
+        ZW = {(i, j, c): vs(xs[i], ys[j], (ll[2], uu[2])[c])
+              for i in (0, 1) for j in (0, 1) for c in (0, 1)}
+        gx = trilerp(lambda i, j, k: (C[1, j, k] - XW[0, j, k]) if i == 0
+                     else (XW[1, j, k] - C[0, j, k]))
+        gy = trilerp(lambda i, j, k: (C[i, 1, k] - YW[i, 0, k]) if j == 0
+                     else (YW[i, 1, k] - C[i, 0, k]))
+        gz = trilerp(lambda i, j, k: (C[i, j, 1] - ZW[i, j, 0]) if k == 0
+                     else (ZW[i, j, 1] - C[i, j, 0]))
         g = jnp.stack([gx, gy, gz])
         return g * (dim_a / size) * (0.5 * params.TSDF_INV_SCALE)
 

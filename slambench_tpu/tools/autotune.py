@@ -132,9 +132,78 @@ def sweep_mip(values, resolution: int, iters: int, out=sys.stdout):
     return rows
 
 
+def _mip_scene(n: int, dim):
+    """Shared synthetic scene for the raycast sweeps: an undulating wall
+    around z=2.4 m (varied bracket geometry so refinement accuracy is
+    exercised), camera at z=0.2 looking down +z."""
+    import jax.numpy as jnp
+    from slambench_tpu.volume import pack_tsdf
+
+    c = (np.arange(n, dtype=np.float32) + 0.5) * (dim[2] / n)
+    Z, Y, X = np.meshgrid(c, c, c, indexing="ij")
+    wall = 2.4 + 0.3 * np.sin(X * 2.1) * np.cos(Y * 1.7)
+    sdf = np.clip((wall - Z) / 0.1, -1.0, 1.0).astype(np.float32)
+    tsdf = pack_tsdf(jnp.asarray(sdf))
+    K = np.array([[240.6, 0, 160, 0], [0, 240.0, 120, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = (2.4, 2.4, 0.2)
+    view = jnp.asarray(pose @ np.linalg.inv(K))
+    return tsdf, view
+
+
+def sweep_refine(values, resolution: int, iters: int, out=sys.stdout):
+    """Time + accuracy per (nscan, fp_iters) refinement budget.
+
+    Accuracy is the max |t_hit - t_ref| in voxels against a high-budget
+    (nscan=10, fp=5) reference on the same scene — committed evidence
+    for the default SLAMBENCH_RAYCAST_NSCAN/REFINE choice."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu import params
+    from slambench_tpu.ops.raycast_fast import make_min_mip, raycast_fast
+
+    n = resolution
+    dim = (4.8, 4.8, 4.8)
+    tsdf, view = _mip_scene(n, dim)
+    mip = make_min_mip(tsdf)
+    step = min(dim) / n
+
+    def make_rc(nscan, fp):
+        @jax.jit
+        def rc(t, mp, v):
+            return raycast_fast(t, mp, dim, v, (240, 320),
+                                params.NEAR_PLANE, params.FAR_PLANE,
+                                step, 0.075, nscan=nscan, fp_iters=fp)[1]
+        return rc
+
+    t_ref = np.asarray(make_rc(10, 5)(tsdf, mip, view))
+    hit_ref = t_ref > 0
+    rows = []
+    for spec in values:
+        nscan, fp = (int(x) for x in str(spec).split(":"))
+        rc = make_rc(nscan, fp)
+        th = rc(tsdf, mip, view)
+        t_np = np.asarray(th)
+        m = hit_ref & (t_np > 0)
+        err_vox = float(np.abs(t_np[m] - t_ref[m]).max() / step) if \
+            m.any() else float("inf")
+        v = view
+        t0 = time.monotonic()
+        for _ in range(iters):
+            th = rc(tsdf, mip, v)
+            v = v.at[0, 3].add(jnp.max(th) * 1e-30)
+        _fetch(th)
+        ns = (time.monotonic() - t0) / iters * 1e9
+        print(f"raycast[nscan={nscan},fp={fp}] {ns:.0f} {240 * 320} "
+              f"max_err_vox={err_vox:.4f}", file=out)
+        rows.append(((nscan, fp), ns, err_vox))
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("kernel", choices=["reduce", "mip"])
+    ap.add_argument("kernel", choices=["reduce", "mip", "refine"])
     ap.add_argument("--values", default=None,
                     help="comma-separated parameter values to sweep")
     ap.add_argument("--iters", type=int, default=8)
@@ -146,6 +215,9 @@ def main(argv=None) -> int:
         values = [int(v) for v in
                   (args.values or "256,512,1024,2048").split(",")]
         rows = sweep_reduce(values, args.pixels, args.iters)
+    elif args.kernel == "refine":
+        values = (args.values or "8:4,6:3,4:3,3:2,2:2").split(",")
+        rows = sweep_refine(values, args.resolution, args.iters)
     else:
         values = [int(v) for v in (args.values or "4,8,16,32").split(",")]
         rows = sweep_mip(values, args.resolution, args.iters)

@@ -201,6 +201,19 @@ def main(argv=None) -> int:
            state.tsdf, state.weight,
            bytes_per_call=vol_bytes * 2)
 
+    # ---- integrate + mip in one jit (does XLA fuse the mip's volume
+    # re-read into the integrate pass? measured, not assumed) ---- #
+    def integ_mip(tsdf, weight):
+        t, w = integrate(tsdf, weight, fd, inv_track, cam_k, 0.1,
+                         params.MAX_WEIGHT, kf.volume_dimensions)
+        return t, w, make_min_mip(t)
+
+    timeit("integrate_plus_mip_fused",
+           _chain_loop(lambda t, w: integ_mip(t, w),
+                       lambda c, a: (c[0], c[1]), reps),
+           state.tsdf, state.weight,
+           bytes_per_call=vol_bytes * 2)
+
     # ---- make_min_mip ---- #
     mip_bytes = V ** 3 * 2 + (V // 8) * V * V * 2  # read vol + 1st pass out
     timeit("make_min_mip",

@@ -63,7 +63,14 @@ def take_flat(table: jax.Array, idx: jax.Array) -> jax.Array:
     clip-mode gather lowers to a pathologically slow path for some index
     shapes (measured up to ~1000x slower, see PROFILE.md); every caller
     here clamps its indices first, so the promise is free.
+
+    The index array must be >= 2-D: 1-D index arrays trigger another
+    pathological lowering (measured 27,424 ns/elem vs ~33 for 2-D/3-D
+    shapes of the same size — tools/gather_probe.py, PROFILE.md §3).
     """
+    assert idx.ndim != 1 or idx.size <= 4096, (
+        "1-D gather indices lower ~1000x slower on TPU; reshape to "
+        f"[rows, 128] first (got {idx.shape})")
     return table.at[idx].get(mode="promise_in_bounds")
 
 
@@ -162,12 +169,26 @@ def grad(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
     ys = (lo[1], up[1])
     zs = (lo[2], up[2])
 
-    gx = trilerp(lambda i, j, k: _vs(tsdf, (up[0] if i == 0 else uu[0]), ys[j], zs[k])
-                 - _vs(tsdf, (ll[0] if i == 0 else lo[0]), ys[j], zs[k]))
-    gy = trilerp(lambda i, j, k: _vs(tsdf, xs[i], (up[1] if j == 0 else uu[1]), zs[k])
-                 - _vs(tsdf, xs[i], (ll[1] if j == 0 else lo[1]), zs[k]))
-    gz = trilerp(lambda i, j, k: _vs(tsdf, xs[i], ys[j], (up[2] if k == 0 else uu[2]))
-                 - _vs(tsdf, xs[i], ys[j], (ll[2] if k == 0 else lo[2])))
+    # The 48 central-difference endpoints touch only 32 distinct lattice
+    # points (the 2x2x2 core appears in all three axis stencils); fetch
+    # each point exactly once — values and blend arithmetic match the
+    # naive 48-gather form bit-for-bit (reference: commons.h:215-301),
+    # at 2/3 the gather traffic (gathers price the raycast, PROFILE.md).
+    C = {(i, j, k): _vs(tsdf, xs[i], ys[j], zs[k])
+         for i in (0, 1) for j in (0, 1) for k in (0, 1)}
+    XW = {(a, j, k): _vs(tsdf, (ll[0], uu[0])[a], ys[j], zs[k])
+          for a in (0, 1) for j in (0, 1) for k in (0, 1)}
+    YW = {(i, b, k): _vs(tsdf, xs[i], (ll[1], uu[1])[b], zs[k])
+          for i in (0, 1) for b in (0, 1) for k in (0, 1)}
+    ZW = {(i, j, c): _vs(tsdf, xs[i], ys[j], (ll[2], uu[2])[c])
+          for i in (0, 1) for j in (0, 1) for c in (0, 1)}
+
+    gx = trilerp(lambda i, j, k: (C[1, j, k] - XW[0, j, k]) if i == 0
+                 else (XW[1, j, k] - C[0, j, k]))
+    gy = trilerp(lambda i, j, k: (C[i, 1, k] - YW[i, 0, k]) if j == 0
+                 else (YW[i, 1, k] - C[i, 0, k]))
+    gz = trilerp(lambda i, j, k: (C[i, j, 1] - ZW[i, j, 0]) if k == 0
+                 else (ZW[i, j, 1] - C[i, j, 0]))
 
     g = jnp.stack([gx, gy, gz])
     scale = dim_a / size * (0.5 * params.TSDF_INV_SCALE)
