@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -287,10 +288,19 @@ class KFusion:
         else:
             # Temporal warm start: the previous raycast bounds where the
             # (static) scene surface can be, shrunk by the rigid-motion
-            # margin between the two raycast poses.
-            delta = mat4mul(rigid_inverse(state.raycast_pose), state.pose)
-            t_init = warm_start_bound(
-                state.prev_t_hit, delta, params.FAR_PLANE, 0.75 * self.mu)
+            # margin between the two raycast poses. Env-switchable: with
+            # the two-level mip, empty-space marching is cheap and the
+            # march cost is set by the LONGEST ray (which the warm start
+            # does not shorten — misses get no bound), so the bound's
+            # value is scene-dependent; sweep both on hardware.
+            if os.environ.get("SLAMBENCH_WARM_START", "1") != "0":
+                delta = mat4mul(rigid_inverse(state.raycast_pose),
+                                state.pose)
+                t_init = warm_start_bound(
+                    state.prev_t_hit, delta, params.FAR_PLANE,
+                    0.75 * self.mu)
+            else:
+                t_init = None
             vertex, normal, t_hit = raycast_fast_maps(
                 state.tsdf, state.mip, self.volume_dimensions, view,
                 (self.H, self.W), params.NEAR_PLANE, params.FAR_PLANE,

@@ -132,6 +132,48 @@ def probe_pallas_reduce(out: dict, reps: int = 20) -> None:
           f"relerr {relerr:.2e}", file=sys.stderr, flush=True)
 
 
+def probe_pallas_bilateral(out: dict, reps: int = 20) -> None:
+    """Pallas stencil vs XLA shifted-view bilateral, compiled on the
+    current backend (the second Pallas kernel's hardware number)."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu import params
+    from slambench_tpu.ops.preprocess import bilateral_filter, make_gaussian
+    from slambench_tpu.ops.pallas.bilateral import bilateral_filter_pallas
+
+    H, W = 240, 320
+    interpret = jax.default_backend() != "tpu"
+    depth = jnp.asarray(
+        (np.random.rand(H, W) * 3 + 0.5).astype(np.float32))
+    g = make_gaussian()
+    gj = jnp.asarray(g)
+
+    rp = bilateral_filter_pallas(depth, g, params.E_DELTA, params.RADIUS,
+                                 interpret=interpret)
+    rx = bilateral_filter(depth, gj, params.E_DELTA, params.RADIUS)
+    out["pallas_bilateral_relerr"] = float(
+        np.abs(np.asarray(rp) - np.asarray(rx)).max())
+
+    def chained(fn):
+        @jax.jit
+        def run(d):
+            def body(i, dd):
+                return fn(dd) + dd * 1e-20
+            return jax.lax.fori_loop(0, reps, body, d)
+        return run
+
+    tp = _timeit(chained(lambda d: bilateral_filter_pallas(
+        d, g, params.E_DELTA, params.RADIUS, interpret=interpret)),
+        depth, reps=reps)
+    tx = _timeit(chained(lambda d: bilateral_filter(
+        d, gj, params.E_DELTA, params.RADIUS)), depth, reps=reps)
+    out["pallas_bilateral_us"] = round(tp * 1e6, 1)
+    out["xla_bilateral_us"] = round(tx * 1e6, 1)
+    print(f"bilateral pallas {tp*1e6:.0f}us xla {tx*1e6:.0f}us "
+          f"relerr {out['pallas_bilateral_relerr']:.2e}",
+          file=sys.stderr, flush=True)
+
+
 def probe_gather_modes(out: dict, reps: int = 4) -> None:
     """XLA gather ns/element: clip vs promise_in_bounds, small vs
     volume-sized tables, 77k vs 16M counts."""

