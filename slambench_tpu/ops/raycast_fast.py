@@ -201,7 +201,7 @@ def raycast_fast(tsdf: jax.Array,
                     step, large_step, max_iters,
                     mip2_t=mip2_t, exit2_t=exit2_t)
     t_hit = rescan_refine(tri_t, out, step,
-                          nscan=nscan or RAYCAST_NSCAN,
+                          nscan=RAYCAST_NSCAN if nscan is None else nscan,
                           fp_iters=(RAYCAST_REFINE_ITERS
                                     if fp_iters is None else fp_iters))
 

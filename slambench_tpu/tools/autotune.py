@@ -216,7 +216,7 @@ def main(argv=None) -> int:
                   (args.values or "256,512,1024,2048").split(",")]
         rows = sweep_reduce(values, args.pixels, args.iters)
     elif args.kernel == "refine":
-        values = (args.values or "8:4,6:3,4:3,3:2,2:2").split(",")
+        values = (args.values or "8:4,6:3,4:3,4:2,3:2,2:2").split(",")
         rows = sweep_refine(values, args.resolution, args.iters)
     else:
         values = [int(v) for v in (args.values or "4,8,16,32").split(",")]

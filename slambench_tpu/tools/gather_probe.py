@@ -79,10 +79,13 @@ def main(argv=None) -> int:
         return run
 
     def bench(name, fn, vi_, ui_, tbl):
+        # Per-iteration element count is the INDEX array's size — the
+        # volume/tiny-table variants gather 76.8k elements, not args.n.
+        count = int(np.prod(vi_.shape))
         dt = _timeit(chain(fn), vi_, ui_, tbl, inner=inner)
-        out[name] = {"ms": round(dt * 1e3, 3),
-                     "ns_per_elem": round(dt / N * 1e9, 3)}
-        print(f"{name:32s} {dt*1e3:9.3f} ms  {dt/N*1e9:7.2f} ns/elem",
+        out[name] = {"ms": round(dt * 1e3, 3), "count": count,
+                     "ns_per_elem": round(dt / count * 1e9, 3)}
+        print(f"{name:32s} {dt*1e3:9.3f} ms  {dt/count*1e9:7.2f} ns/elem",
               file=sys.stderr, flush=True)
 
     # --- integrate-style small-table gathers --------------------------- #
@@ -106,15 +109,9 @@ def main(argv=None) -> int:
     if k ** 3 <= N:
         vi3 = vi[: k ** 3].reshape(k, k, k)
         ui3 = ui[: k ** 3].reshape(k, k, k)
-        dt = _timeit(chain(
-            lambda v, u, t: t.reshape(-1).at[v * W + u].get(
-                mode="promise_in_bounds")), vi3, ui3, depth_f32,
-            inner=inner)
-        out["flat1d_f32_idx3d"] = {
-            "ms": round(dt * 1e3, 3),
-            "ns_per_elem": round(dt / k ** 3 * 1e9, 3)}
-        print(f"{'flat1d_f32_idx3d':32s} {dt*1e3:9.3f} ms  "
-              f"{dt/k**3*1e9:7.2f} ns/elem", file=sys.stderr, flush=True)
+        bench("flat1d_f32_idx3d",
+              lambda v, u, t: t.reshape(-1).at[v * W + u].get(
+                  mode="promise_in_bounds"), vi3, ui3, depth_f32)
 
     # --- raycast-style volume gathers (33 MB table) --------------------- #
     V = 256
