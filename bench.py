@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--backend", default="auto",
                     choices=("jnp", "fast", "pallas", "auto"),
                     help="kernel tier (auto = measured-best for platform)")
+    ap.add_argument("--motion-model", default="none", choices=("none", "cv"),
+                    help="ICP warm start (cv = damped constant-velocity; "
+                         "measured a wash on the tunneled endpoint, so the "
+                         "reference behaviour stays the default)")
     ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
     args = ap.parse_args()
 
@@ -61,10 +65,12 @@ def main():
     if not regen:
         from slambench_tpu.io.raw import raw_frame_count
         from slambench_tpu.io.synthetic import SCENE_VERSION
-        regen = raw_frame_count(raw) < n_frames
         try:
+            regen = raw_frame_count(raw) < n_frames
             regen = regen or int(open(vfile).read()) != SCENE_VERSION
         except (OSError, ValueError):
+            # Truncated/corrupt dataset (e.g. a generation interrupted
+            # mid-write) — regenerate from scratch.
             regen = True
     if regen:
         man = generate_dataset(args.dataset, n_frames=n_frames,
@@ -77,7 +83,8 @@ def main():
     camera = tuple(c / args.ratio for c in (481.2, 480.0, 320.0, 240.0))
     init = (0.34 * 4.8, 0.5 * 4.8, 0.24 * 4.8)
     kf = KFusion((W, H), (args.volume,) * 3, (4.8, 4.8, 4.8), init,
-                 (10, 5, 4), camera, mu=0.1, backend=args.backend)
+                 (10, 5, 4), camera, mu=0.1, backend=args.backend,
+                 motion_model=args.motion_model)
     state = kf.init_state()
     rd = RawDepthReader(raw)
 
@@ -165,6 +172,8 @@ def main():
         "compile_s": round(t_compile, 1),
         "backend": jax.default_backend(),
         "backend_tier": kf.backend,
+        "motion_model": kf.motion_model,
+        "integrate_blocks": "%dx%d" % kf.integrate_block_grid,
         "device_eff_gbps": round(gbps, 1),
         "device_eff_bf16_tflops": round(tflops, 2),
     }

@@ -42,7 +42,7 @@ LONG_OPTIONS = [
     "integration-rate=", "volume-size=", "tracking-rate=",
     "volume-resolution=", "pyramid-levels=", "rendering-rate=",
     # TPU-native extensions (not in the reference):
-    "mesh=", "backend=", "checkpoint=", "resume=",
+    "mesh=", "backend=", "checkpoint=", "resume=", "motion-model=",
 ]
 
 # Valid compute-kernel backends (pipeline.KFusion): the jnp oracle, the
@@ -121,6 +121,7 @@ class Configuration:
     # TPU-native extensions.
     mesh: str = ""          # e.g. "z:4" — shard the TSDF z-axis over 4 devices
     backend: str = "auto"   # "jnp" oracle | "pallas" | "auto"
+    motion_model: str = "none"   # ICP init: "none" | "cv" (const-velocity)
     checkpoint_file: str = ""
     resume_file: str = ""
 
@@ -154,6 +155,7 @@ class Configuration:
             "-b  (--blocking-read)            : pace reads to --fps instead of dropping frames",
             "--mesh <axis:n>                  : shard the TSDF over an n-device mesh (TPU extension)",
             "--backend <jnp|fast|pallas|auto> : compute-kernel backend (TPU extension)",
+            "--motion-model <none|cv>        : ICP warm start (TPU extension; cv = constant velocity)",
         ]
         for line in lines:
             print(line, file=out)
@@ -262,6 +264,11 @@ def parse_args(argv: Sequence[str]) -> Configuration:
                 errors.append(
                     "--backend must be one of %s (was %s)"
                     % ("|".join(VALID_BACKENDS), arg))
+        elif opt == "--motion-model":
+            cfg.motion_model = arg
+            if cfg.motion_model not in ("none", "cv"):
+                errors.append(
+                    "--motion-model must be one of none|cv (was %s)" % arg)
         elif opt == "--checkpoint":
             cfg.checkpoint_file = arg
         elif opt == "--resume":

@@ -83,6 +83,7 @@ def run(config: Configuration, fused: bool = False,
         mu=config.mu,
         icp_threshold=config.icp_threshold,
         backend=config.backend,
+        motion_model=config.motion_model,
     )
     if config.mesh:
         from slambench_tpu.parallel.mesh import make_mesh, parse_mesh_spec

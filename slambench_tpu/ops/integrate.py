@@ -33,15 +33,21 @@ def integrate(tsdf: jax.Array,
               mu: float,
               max_weight: float = params.MAX_WEIGHT,
               dim: Dim3 = (2.0, 2.0, 2.0),
-              z_offset: int = 0,
-              z_total: int = 0) -> Tuple[jax.Array, jax.Array]:
+              z_offset=0,
+              z_total: int = 0,
+              y_offset=0,
+              y_total: int = 0,
+              zs_centers: jax.Array = None,
+              ys_centers: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
     """Fuse one depth frame into the TSDF.
 
     Args mirror the reference call ``integrateKernel(vol, depth, size,
     inverse(pose), getCameraMatrix(k), mu, maxweight)``
     (reference: cpp/kernels.cpp:995-996). ``z_offset``/``z_total`` support
     sharded slabs: the local ``tsdf[z]`` plane corresponds to global voxel
-    index ``z + z_offset`` of a ``z_total``-deep volume (0 => unsharded).
+    index ``z + z_offset`` of a ``z_total``-deep volume (0 => unsharded);
+    ``y_offset``/``y_total`` likewise for frustum-culled y-blocks. The
+    offsets may be traced scalars (block indices inside ``lax.scan``).
 
     Update rule per voxel (reference: cpp/kernels.cpp:645-669):
       skip if camera-space z < 1e-4, projected pixel outside the image, or
@@ -52,10 +58,19 @@ def integrate(tsdf: jax.Array,
     sz, sy, sx = tsdf.shape
     H, W = depth.shape
     z_total = z_total or sz
+    y_total = y_total or sy
 
+    # ``*_centers`` overrides (frustum-culled blocks) carry PRE-SLICED
+    # world coordinates so the arithmetic below folds/fuses exactly as
+    # in the monolithic call — keeping blocked integration bit-identical
+    # (a traced ``arange + offset`` changes XLA's FMA contraction by
+    # 1 ulp on knife-edge voxels; measured, tests/test_ops.py).
     xs = voxel_centers_axis(sx, dim[0])                     # [sx]
-    ys = voxel_centers_axis(sy, dim[1])                     # [sy]
-    zs_global = (jnp.arange(sz, dtype=jnp.float32) + z_offset + 0.5) * (
+    ys = ys_centers if ys_centers is not None else (
+        jnp.arange(sy, dtype=jnp.float32) + y_offset + 0.5) * (
+        dim[1] / y_total)                                   # [sy]
+    zs_global = zs_centers if zs_centers is not None else (
+        jnp.arange(sz, dtype=jnp.float32) + z_offset + 0.5) * (
         dim[2] / z_total)                                   # [sz]
 
     # World voxel centre -> camera space, broadcast [sz, sy, sx].
@@ -97,3 +112,129 @@ def integrate(tsdf: jax.Array,
     tsdf_out = jnp.where(update, pack_tsdf(new_val), tsdf)
     weight_out = jnp.where(update, new_w.astype(weight.dtype), weight)
     return tsdf_out, weight_out
+
+
+def block_visibility(n_z: int, n_y: int,
+                     dim: Dim3,
+                     inv_track: jax.Array,
+                     K: jax.Array,
+                     depth: jax.Array,
+                     mu: float,
+                     z0_world: float = 0.0,
+                     z1_world: float = None) -> jax.Array:
+    """[n_z * n_y] bool: False only when the (z, y) volume block provably
+    contains NO voxel the integrate update rule can touch.
+
+    The reference integrate streams every voxel unconditionally
+    (reference: cpp/kernels.cpp:628-673); on TPU the per-voxel depth
+    gather dominates (PROFILE.md §2), so culling whole blocks against
+    the camera frustum is the one XLA-expressible way to skip it.
+
+    The cull is EXACT (never skips an updatable voxel): each frustum
+    face is a half-space linear in camera coordinates, so if all 8
+    corners of a block's AABB fall outside one face, every interior
+    point does too, and for each face the corresponding update
+    precondition then fails for every voxel:
+      * near:  ``pz >= 1e-4``  (in_front),
+      * image: ``0 <= u <= W-1``, ``0 <= v <= H-1`` (in_img; points with
+        ``cz <= 0`` fail in_front instead, so the linear form
+        ``cx + 0.5*cz >= 0`` etc. is sufficient either way),
+      * far:   ``diff > -mu`` needs ``cz < d + mu/corr <= max(depth)+mu``
+        (corr >= 1), so ``cz >= max(depth)+mu`` everywhere kills it.
+    """
+    H, W = depth.shape
+    # Block AABB corner grid in world space: [n_z, n_y, 8, 3] -> [N, 8, 3].
+    # z0_world/z1_world bound the LOCAL z extent (a sharded slab; they
+    # may be traced scalars). Default: the full volume [0, dim_z].
+    if z1_world is None:
+        z1_world = dim[2]
+    ez = z0_world + jnp.arange(n_z + 1, dtype=jnp.float32) * (
+        (z1_world - z0_world) / n_z)
+    ey = jnp.arange(n_y + 1, dtype=jnp.float32) * (dim[1] / n_y)
+    ex = jnp.asarray([0.0, dim[0]], jnp.float32)
+    zc = jnp.stack([ez[:-1], ez[1:]], -1)                  # [n_z, 2]
+    yc = jnp.stack([ey[:-1], ey[1:]], -1)                  # [n_y, 2]
+
+    M = mat4mul_kinv = K @ inv_track                        # [4, 4]
+    del mat4mul_kinv
+    # Corner coords broadcast to [n_z, n_y, 2(z), 2(y), 2(x)].
+    Z = zc[:, None, :, None, None]
+    Y = yc[None, :, None, :, None]
+    X = ex[None, None, None, None, :]
+    cx = M[0, 0] * X + M[0, 1] * Y + M[0, 2] * Z + M[0, 3]
+    cy = M[1, 0] * X + M[1, 1] * Y + M[1, 2] * Z + M[1, 3]
+    cz = M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z + M[2, 3]
+
+    dmax = jnp.max(depth)
+    corner_ok = jnp.stack([
+        cz >= 1e-4,                                        # near
+        cz < dmax + mu,                                    # far
+        cx + 0.5 * cz >= 0,                                # u >= 0
+        (W - 1.5) * cz - cx >= 0,                          # u <= W-1
+        cy + 0.5 * cz >= 0,                                # v >= 0
+        (H - 1.5) * cz - cy >= 0,                          # v <= H-1
+    ])                                                     # [6, n_z, n_y, 2,2,2]
+    # Visible unless some face has ALL corners outside it.
+    any_corner = jnp.any(corner_ok.reshape(6, n_z, n_y, 8), axis=-1)
+    return jnp.all(any_corner, axis=0).reshape(n_z * n_y)
+
+
+def integrate_blocks(tsdf: jax.Array,
+                     weight: jax.Array,
+                     depth: jax.Array,
+                     inv_track: jax.Array,
+                     K: jax.Array,
+                     mu: float,
+                     max_weight: float = params.MAX_WEIGHT,
+                     dim: Dim3 = (2.0, 2.0, 2.0),
+                     n_z: int = 8,
+                     n_y: int = 1,
+                     z_offset=0,
+                     z_total: int = 0) -> Tuple[jax.Array, jax.Array]:
+    """Frustum-culled integrate: ``lax.fori_loop`` over (z, y) volume
+    blocks, each integrated under a ``lax.cond`` visibility gate so
+    off-frustum blocks skip their per-voxel depth gathers entirely.
+
+    The cull itself is exact (see :func:`block_visibility`): every voxel
+    an update could touch is integrated with the same update rule, so the
+    result matches :func:`integrate` to the project's integrate contract
+    (identical weights; tsdf within 1 int16 LSB on knife-edge voxels —
+    XLA contracts the voxel->camera multiply-adds into FMAs differently
+    inside the loop body, the same 1-ulp class of drift the reference's
+    own C++-vs-CUDA backends exhibit). Asserted by tests/test_ops.py.
+    The blocks live in a ``dynamic_update_slice`` loop so XLA updates the
+    volume in place; culled blocks cost nothing (cond pass-through).
+    """
+    sz, sy, sx = tsdf.shape
+    if sz % n_z or sy % n_y:
+        raise ValueError(f"volume {tsdf.shape} not divisible into "
+                         f"{n_z}x{n_y} (z, y) blocks")
+    bz, by = sz // n_z, sy // n_y
+    z_total = z_total or sz
+    vz = dim[2] / z_total                    # world size of one z voxel
+    visible = block_visibility(n_z, n_y, dim, inv_track, K, depth, mu,
+                               z0_world=z_offset * vz,
+                               z1_world=(z_offset + sz) * vz)
+    zs_full = (jnp.arange(sz, dtype=jnp.float32) + z_offset + 0.5) * vz \
+        if z_total != sz else voxel_centers_axis(sz, dim[2])
+    ys_full = voxel_centers_axis(sy, dim[1])
+
+    def body(b, carry):
+        t, w = carry
+        iz, iy = b // n_y, b % n_y
+        z0, y0 = iz * bz, iy * by
+
+        def do(c):
+            tc, wc = c
+            ts = jax.lax.dynamic_slice(tc, (z0, y0, 0), (bz, by, sx))
+            ws = jax.lax.dynamic_slice(wc, (z0, y0, 0), (bz, by, sx))
+            ts, ws = integrate(
+                ts, ws, depth, inv_track, K, mu, max_weight, dim,
+                zs_centers=jax.lax.dynamic_slice(zs_full, (z0,), (bz,)),
+                ys_centers=jax.lax.dynamic_slice(ys_full, (y0,), (by,)))
+            return (jax.lax.dynamic_update_slice(tc, ts, (z0, y0, 0)),
+                    jax.lax.dynamic_update_slice(wc, ws, (z0, y0, 0)))
+
+        return jax.lax.cond(visible[b], do, lambda c: c, carry)
+
+    return jax.lax.fori_loop(0, n_z * n_y, body, (tsdf, weight))

@@ -88,6 +88,44 @@ def make_min_mip2(mip: jax.Array, m2: int = MIP2_BLOCK) -> jax.Array:
         padding=[(0, (-mip.shape[i]) % m2) for i in range(3)])
 
 
+# Chebyshev-distance skip radius cap, in level-1 cells (so up to
+# (SKIP_MAX_D-1)*MIP_BLOCK voxels are cleared per skip-table lookup).
+SKIP_MAX_D = int(os.environ.get("SLAMBENCH_SKIP_MAX_D", "7"))
+
+
+def make_skip_mip(mip: jax.Array, max_d: int = SKIP_MAX_D) -> jax.Array:
+    """L∞ (chebyshev) distance transform of the level-1 min-mip's
+    occupancy: ``skip[c] = 0`` when cell ``c`` may contain a crossing
+    (``mip < 0``), else the chebyshev cell-distance to the nearest such
+    cell, capped at ``max_d``.
+
+    A ray standing in a cell with ``skip == d >= 1`` can safely jump to
+    the exit of the (2(d-1)+1)^3-cell ball centred on its cell: every
+    cell in that ball is provably crossing-free (the level-1 (m+1)-window
+    overlap already bounds all trilinear samples). Ball exits land on
+    cell boundaries, so — like the level-1/level-2 hops — skips are
+    phase-free: the march enters the first occupied cell along the ray
+    at the same t no matter which skip ladder got it there, keeping fast
+    / sharded / dist-skip hit positions identical (the property the
+    4-shard ULP-exactness test pins down).
+
+    Cost: ``max_d - 1`` 3^3 min-pools over the (tiny) mip grid, rebuilt
+    per raycast from the state's mip — no extra pipeline state. This
+    replaces the level-2 mip: one skip-table gather per march substep
+    instead of level-1 + level-2 gathers, with jumps up to
+    ``(max_d-1)*m`` voxels instead of ``m*m2``.
+    """
+    big = jnp.int32(max_d)
+    dist = jnp.where(mip < 0, jnp.int32(0), big)
+    for _ in range(max_d - 1):
+        nb = -jax.lax.reduce_window(
+            -dist, -big, jax.lax.max,
+            window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+            padding=[(1, 1)] * 3)
+        dist = jnp.minimum(dist, nb + 1)
+    return dist.astype(jnp.int8)
+
+
 def raycast_fast(tsdf: jax.Array,
                  mip: jax.Array,
                  dim: Dim3,
@@ -124,12 +162,10 @@ def raycast_fast(tsdf: jax.Array,
     flat_vol = tsdf.reshape(-1)
     flat_mip = mip.reshape(-1)
     mzb, myb, mxb = mip.shape
-    # Level-2 skip table: derived from the mip on the fly (tiny — e.g.
-    # 8^3 int16 at 256^3/defaults), so it needs no pipeline state.
-    m2 = MIP2_BLOCK
-    mip2 = make_min_mip2(mip, m2)
-    flat_mip2 = mip2.reshape(-1)
-    m2zb, m2yb, m2xb = mip2.shape
+    # Chebyshev skip table: derived from the mip on the fly (tiny — 32^3
+    # int8 at 256^3/defaults), so it needs no pipeline state.
+    skip = make_skip_mip(mip)
+    flat_skip = skip.reshape(-1)
 
     limit = jnp.array([sx - 1, sy - 1, sz - 1],
                       jnp.int32).reshape(3, 1, 1)
@@ -144,50 +180,37 @@ def raycast_fast(tsdf: jax.Array,
         return take_flat(flat_vol, flat).astype(jnp.float32) \
             * params.TSDF_INV_SCALE
 
-    def mip_at(pos):
+    def skip_at(pos):
         idx = voxel_idx(pos)
         b = idx // m
         bx = jnp.clip(b[0], 0, mxb - 1)
         by = jnp.clip(b[1], 0, myb - 1)
         bz = jnp.clip(b[2], 0, mzb - 1)
-        return take_flat(flat_mip, (bz * myb + by) * mxb + bx).astype(
-            jnp.float32) * params.TSDF_INV_SCALE
+        return take_flat(flat_skip, (bz * myb + by) * mxb + bx).astype(
+            jnp.int32)
 
-    def mip2_at(pos):
+    def ball_exit_t(pos, t, d):
+        """Ray parameter at which the (2(d-1)+1)^3-cell guaranteed-empty
+        ball centred on the current cell is exited (d >= 1)."""
         idx = voxel_idx(pos)
-        b = idx // (m * m2)
-        bx = jnp.clip(b[0], 0, m2xb - 1)
-        by = jnp.clip(b[1], 0, m2yb - 1)
-        bz = jnp.clip(b[2], 0, m2zb - 1)
-        return take_flat(flat_mip2, (bz * m2yb + by) * m2xb + bx).astype(
-            jnp.float32) * params.TSDF_INV_SCALE
-
-    def cell_exit_t(pos, t, cell: int):
-        """Ray parameter at which the current size-``cell`` (voxels,
-        axis-aligned) skip cell is exited."""
-        idx = voxel_idx(pos)
-        b = (idx // cell).astype(jnp.float32)
-        cell_lo = b * (cell * voxel)
-        cell_hi = cell_lo + (cell * voxel)
-        d = jnp.where(direction == 0, 1e-20, direction)
-        t_axis = jnp.where(d > 0, (cell_hi - pos) / d, (cell_lo - pos) / d)
+        b = (idx // m).astype(jnp.float32)
+        r = (d - 1).astype(jnp.float32)
+        cell_lo = (b - r) * (m * voxel)
+        cell_hi = (b + r + 1.0) * (m * voxel)
+        dd = jnp.where(direction == 0, 1e-20, direction)
+        t_axis = jnp.where(dd > 0, (cell_hi - pos) / dd,
+                           (cell_lo - pos) / dd)
         dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
         return t + jnp.maximum(dt, 0.0) + 0.25 * step
 
     def nearest_t(t):
         return nearest(o + direction * t[None])
 
-    def mip_t(t):
-        return mip_at(o + direction * t[None])
+    def dist_t(t):
+        return skip_at(o + direction * t[None])
 
-    def exit_t(t):
-        return cell_exit_t(o + direction * t[None], t, m)
-
-    def mip2_t(t):
-        return mip2_at(o + direction * t[None])
-
-    def exit2_t(t):
-        return cell_exit_t(o + direction * t[None], t, m * m2)
+    def dist_exit_t(t, d):
+        return ball_exit_t(o + direction * t[None], t, d)
 
     def tri_t(t):
         return interp(tsdf, dim, o + direction * t[None])
@@ -197,9 +220,9 @@ def raycast_fast(tsdf: jax.Array,
         + int(3.0 * (0.8 / 0.75) * large_step / step) \
         + int((far_plane - near_plane) / large_step) + 16
 
-    out = mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
+    out = mip_march(nearest_t, None, None, tnear, tfar,
                     step, large_step, max_iters,
-                    mip2_t=mip2_t, exit2_t=exit2_t)
+                    dist_t=dist_t, dist_exit_t=dist_exit_t)
     t_hit = rescan_refine(tri_t, out, step,
                           nscan=RAYCAST_NSCAN if nscan is None else nscan,
                           fp_iters=(RAYCAST_REFINE_ITERS
@@ -221,7 +244,8 @@ MARCH_UNROLL = max(1, int(os.environ.get("SLAMBENCH_MARCH_UNROLL", "4")))
 def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
               step: float, large_step: float, max_iters: int,
               unroll: int = MARCH_UNROLL,
-              mip2_t=None, exit2_t=None) -> dict:
+              mip2_t=None, exit2_t=None,
+              dist_t=None, dist_exit_t=None) -> dict:
     """The mip-skipping nearest-sample march, parameterized over the
     per-t samplers so the single-volume and sharded-slab raycasts share
     one implementation. Returns the march state dict (hit, t, t_prev).
@@ -230,12 +254,21 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
     update rules make the unrolled body produce bit-identical results to
     the step-per-iteration loop.
 
-    ``mip2_t``/``exit2_t`` (optional, both or neither) add a coarser
-    second skip level: a ray in a provably-empty level-2 cell jumps to
-    that cell's exit. Every march iteration gathers for ALL rays (done
-    lanes included — lockstep vectors), so the longest ray sets the
-    cost; the level-2 skip shortens exactly those longest (empty-space /
-    sky) rays."""
+    Skip structure (every march iteration gathers for ALL rays — done
+    lanes included, lockstep vectors — so the longest ray sets the cost):
+
+    * ``mip_t``/``exit_t``: level-1 cell emptiness + cell exit;
+      ``mip2_t``/``exit2_t`` (optional, both or neither) add a coarser
+      second level.
+    * ``dist_t``/``dist_exit_t`` (alternative; ``mip_t`` may then be
+      None): a chebyshev-distance table (make_skip_mip) — ONE gather
+      yields both emptiness (d >= 1) and the guaranteed-empty ball to
+      jump through, with jumps growing with distance from the surface.
+
+    All skip variants land on cell boundaries, so the t at which the
+    march enters the first occupied cell along a ray — and therefore the
+    bracket the refine stage polishes — is identical across them
+    (phase-free hops; pinned by the fast-vs-slab ULP-exactness test)."""
     f_t0 = nearest_t(tnear)
     active = tnear < tfar
     marching = active & (f_t0 > 0)
@@ -255,24 +288,31 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
 
     def substep(s):
         live = ~s["done"]
-        mip_val = mip_t(s["t"])
-        empty = mip_val >= 0.0          # provably no crossing in the cell
-        if mip2_t is not None:
-            empty2 = mip2_t(s["t"]) >= 0.0   # whole level-2 cell empty
-            empty = empty | empty2
         f_tt = nearest_t(s["t"])
+
+        if dist_t is not None:
+            d_val = dist_t(s["t"])
+            empty = d_val >= 1           # provably no crossing in the cell
+        else:
+            empty = mip_t(s["t"]) >= 0.0
+            if mip2_t is not None:
+                empty2 = mip2_t(s["t"]) >= 0.0   # whole level-2 cell empty
+                empty = empty | empty2
 
         is_hit = live & ~empty & (f_tt < 0.0)
         hit = s["hit"] | is_hit
 
-        # Empty cell: jump to its exit (the level-2 exit when the whole
-        # coarse cell is provably empty); occupied: reference stepping.
+        # Empty cell: jump to the skip-structure exit; occupied:
+        # reference stepping.
         new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
         t_step = s["t"] + new_step
-        t_skip = jnp.maximum(exit_t(s["t"]), t_step)
-        if mip2_t is not None:
-            t_skip = jnp.where(empty2,
-                               jnp.maximum(exit2_t(s["t"]), t_step), t_skip)
+        if dist_t is not None:
+            t_skip = jnp.maximum(dist_exit_t(s["t"], d_val), t_step)
+        else:
+            t_skip = jnp.maximum(exit_t(s["t"]), t_step)
+            if mip2_t is not None:
+                t_skip = jnp.where(
+                    empty2, jnp.maximum(exit2_t(s["t"]), t_step), t_skip)
         t_next = jnp.where(empty, t_skip, t_step)
 
         cont = live & ~is_hit

@@ -42,7 +42,7 @@ from slambench_tpu import params
 from slambench_tpu.geometry import (
     get_camera_matrix, get_inverse_camera_matrix, mat4mul, rigid_inverse,
 )
-from slambench_tpu.ops.integrate import integrate
+from slambench_tpu.ops.integrate import integrate, integrate_blocks
 from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
 from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import reduce_track, track
@@ -391,10 +391,22 @@ class ShardedKFusion(KFusion):
 
             def do(args):
                 tsdf, weight = args
-                return integrate(
+                bz, by = self.integrate_block_grid
+                bz = max(1, bz // n)       # z-blocks per slab
+                if (bz, by) == (1, 1) or self.slab_z % bz:
+                    return integrate(
+                        tsdf, weight, state.float_depth,
+                        rigid_inverse(pose), get_camera_matrix(self._k),
+                        self.mu, params.MAX_WEIGHT, self.volume_dimensions,
+                        z_offset=idx * self.slab_z,
+                        z_total=self.volume_resolution[2])
+                # Frustum-culled blocks WITHIN the shard's slab: the
+                # z-shard is the outer partition, the cull skips the
+                # slab's off-frustum (z, y) blocks (ops/integrate.py).
+                return integrate_blocks(
                     tsdf, weight, state.float_depth, rigid_inverse(pose),
                     get_camera_matrix(self._k), self.mu, params.MAX_WEIGHT,
-                    self.volume_dimensions,
+                    self.volume_dimensions, n_z=bz, n_y=by,
                     z_offset=idx * self.slab_z,
                     z_total=self.volume_resolution[2])
 
@@ -463,7 +475,11 @@ class ShardedKFusion(KFusion):
         old_pose = state.pose
         view = mat4mul(get_camera_matrix(self._k),
                        rigid_inverse(state.raycast_pose))
-        pose = state.pose
+        if self.motion_model == "cv":
+            from slambench_tpu.pipeline import cv_predict
+            pose = cv_predict(state.pose, state.old_pose)
+        else:
+            pose = state.pose
         reduction = state.reduction
         track_result = state.track_result
 

@@ -36,9 +36,9 @@ import jax.numpy as jnp
 from slambench_tpu import params
 from slambench_tpu.geometry import (
     get_camera_matrix, get_inverse_camera_matrix, mat4mul, rigid_inverse,
-    translation_pose,
+    se3_exp, se3_log, translation_pose,
 )
-from slambench_tpu.ops.integrate import integrate
+from slambench_tpu.ops.integrate import integrate, integrate_blocks
 from slambench_tpu.ops.preprocess import (
     bilateral_filter, half_sample_robust, make_gaussian, mm2meters,
 )
@@ -79,6 +79,27 @@ class KFusionState:
     integrated: jax.Array    # bool
 
 
+def cv_predict(pose: jax.Array, old_pose: jax.Array,
+               damping: float = 0.5,
+               max_step: float = 0.04) -> jax.Array:
+    """Damped constant-velocity ICP warm start.
+
+    ``pose = old_pose @ D`` with ``D`` the last camera-frame motion;
+    the prediction advances by ``exp(damping * clamp(log(D)))``. The
+    damping and the twist-norm cap keep the initial guess inside the
+    coarse pyramid level's convergence basin: an UNdamped prediction
+    measured on the synthetic e2e clip overshoots at the trajectory's
+    acceleration peaks, converging ICP to a wrong-but-accepted optimum
+    (RMS just under the 2e-2 checkPose gate) that poisons the map.
+    After a rejected frame ``pose == old_pose`` so ``D == I`` — the
+    prediction degrades to the reference's previous-pose start.
+    """
+    xi = se3_log(mat4mul(rigid_inverse(old_pose), pose))
+    norm = jnp.linalg.norm(xi)
+    scale = damping * jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12))
+    return mat4mul(pose, se3_exp(xi * scale))
+
+
 class KFusion:
     """Pipeline driver: bakes the run configuration into jitted phase
     functions (the analogue of rebuilding the reference ``Kfusion`` object
@@ -93,7 +114,8 @@ class KFusion:
                  camera: Sequence[float],
                  mu: float = 0.1,
                  icp_threshold: float = 1e-5,
-                 backend: str = "fast"):
+                 backend: str = "fast",
+                 motion_model: str = "none"):
         # "jnp": the oracle trilinear march (reference-exact sampling);
         # "fast"/"auto": min-mip accelerated raycast (same hits, ~10x
         # fewer volume reads); "pallas": fast raycast + the hand-written
@@ -104,6 +126,17 @@ class KFusion:
                 f"unknown backend {backend!r}: use jnp|fast|pallas|auto")
         if backend == "auto":
             backend = "fast"
+        # ICP initial guess: "none" starts at the previous pose (the
+        # reference's behaviour, cpp/kernels.cpp:938); "cv" warm-starts
+        # at a constant-velocity prediction pose @ (old_pose^-1 @ pose),
+        # which cuts while_loop iterations on smooth trajectories (the
+        # early-exit convergence test fires sooner). A diverging
+        # prediction is caught by the unchanged checkPose gate, which
+        # reverts to the previous pose exactly as the reference does.
+        if motion_model not in ("none", "cv"):
+            raise ValueError(
+                f"unknown motion_model {motion_model!r}: use none|cv")
+        self.motion_model = motion_model
         W, H = computation_size
         self.W, self.H = W, H
         self.volume_resolution = tuple(volume_resolution)
@@ -116,6 +149,25 @@ class KFusion:
         self.backend = backend
         # Fine ray-march step = min(dim) / max(res) (reference: kernels.h:116).
         self.step = min(self.volume_dimensions) / max(self.volume_resolution)
+        # Frustum-culled block integration (ops/integrate.integrate_blocks):
+        # env "NZxNY" overrides; "1x1"/"0" disables. Default: 8x8 blocks
+        # on TPU for the fast tiers (measured 1.8x on hardware at the
+        # bench pose, PROFILE.md §7 / profiles/r3_probe.json); monolithic
+        # on CPU (XLA:CPU gathers are vectorized — 64 serialized cond
+        # blocks only add loop overhead there) and for the jnp oracle
+        # tier (the reference's unconditional voxel stream).
+        blk = os.environ.get("SLAMBENCH_INTEGRATE_BLOCKS", "auto")
+        rz, ry = self.volume_resolution[2], self.volume_resolution[1]
+        if blk in ("auto", ""):
+            on_tpu = jax.default_backend() == "tpu"
+            nz, ny = (8, 8) if (backend != "jnp" and on_tpu) else (1, 1)
+        elif blk == "0":
+            nz, ny = 1, 1
+        else:
+            nz, ny = (int(v) for v in blk.lower().split("x"))
+        if rz % nz or ry % ny:
+            nz, ny = 1, 1
+        self.integrate_block_grid = (nz, ny)
         self.gaussian = jnp.asarray(make_gaussian())
 
         self._levels = len(self.iterations)
@@ -214,7 +266,10 @@ class KFusion:
         view = mat4mul(get_camera_matrix(self._k),
                        rigid_inverse(state.raycast_pose))
 
-        pose = state.pose
+        if self.motion_model == "cv":
+            pose = cv_predict(state.pose, state.old_pose)
+        else:
+            pose = state.pose
         reduction = state.reduction
         track_result = state.track_result
 
@@ -261,10 +316,18 @@ class KFusion:
 
         def do(args):
             tsdf, weight, _ = args
-            tsdf, weight = integrate(
-                tsdf, weight, state.float_depth, rigid_inverse(pose),
-                get_camera_matrix(self._k), self.mu,
-                params.MAX_WEIGHT, self.volume_dimensions)
+            nz, ny = self.integrate_block_grid
+            if (nz, ny) == (1, 1):
+                tsdf, weight = integrate(
+                    tsdf, weight, state.float_depth, rigid_inverse(pose),
+                    get_camera_matrix(self._k), self.mu,
+                    params.MAX_WEIGHT, self.volume_dimensions)
+            else:
+                tsdf, weight = integrate_blocks(
+                    tsdf, weight, state.float_depth, rigid_inverse(pose),
+                    get_camera_matrix(self._k), self.mu,
+                    params.MAX_WEIGHT, self.volume_dimensions,
+                    n_z=nz, n_y=ny)
             return tsdf, weight, make_min_mip(tsdf)
 
         tsdf, weight, mip = jax.lax.cond(

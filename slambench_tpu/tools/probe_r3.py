@@ -130,6 +130,33 @@ def main(argv=None) -> int:
         dt = _timeit(integ_slabs, tsdf0.copy(), w0.copy(), depth, vis)
         report(f"integrate_slabs_{nvis}of{S}", dt / REPS)
 
+    # ------------- 1b. frustum-culled block integrate ------------------ #
+    # Bench-like pose: camera at (0.34, 0.5, 0.24)*dim looking along +z
+    # (the canonical traj2-like start), against a synthetic room depth.
+    from slambench_tpu import geometry as G
+    from slambench_tpu.ops.integrate import block_visibility, integrate_blocks
+
+    pose = G.translation_pose([0.34 * dim[0], 0.5 * dim[1], 0.24 * dim[2]])
+    inv_bench = G.rigid_inverse(pose)
+
+    for (nz, ny) in ((8, 1), (8, 4), (8, 8), (16, 8)):
+        if V % nz or V % ny:
+            continue
+        vis = np.asarray(block_visibility(
+            nz, ny, dim, inv_bench, K, depth, 0.1))
+
+        @jax.jit
+        def integ_blk(t, w, d, _nz=nz, _ny=ny):
+            def body(i, c):
+                return integrate_blocks(c[0], c[1], d, inv_bench, K, 0.1,
+                                        params.MAX_WEIGHT, dim,
+                                        n_z=_nz, n_y=_ny)
+            return jax.lax.fori_loop(0, REPS, body, (t, w))
+
+        dt = _timeit(integ_blk, tsdf0, w0, depth) / REPS
+        report(f"integrate_blocks_{nz}x{ny}", dt,
+               f"(visible {vis.sum()}/{vis.size})")
+
     # ---------------- 2. row gather for the ICP ref fetch -------------- #
     npix = H * W
     idx2d = jnp.asarray(

@@ -156,3 +156,55 @@ def test_pack_tsdf_truncates_toward_zero():
     got = np.asarray(pack_tsdf(vals))
     want = np.trunc(np.asarray(vals) * 32766.0).astype(np.int16)
     np.testing.assert_array_equal(got, want)
+
+
+def test_integrate_blocks_matches_monolithic():
+    """Frustum-culled block integration (ops/integrate.integrate_blocks)
+    vs the monolithic op, across poses that exercise partial/total culls.
+
+    Contract (same as the oracle contract above): identical weights,
+    tsdf within 1 int16 LSB on a <0.1% knife-edge fraction — XLA's FMA
+    contraction differs inside the block loop, the same drift class as
+    the reference's C++-vs-CUDA backends."""
+    from slambench_tpu.ops.integrate import block_visibility, integrate_blocks
+    from slambench_tpu import params
+
+    rng = np.random.default_rng(3)
+    V3 = 64
+    H, W = 24, 32
+    tsdf = jnp.asarray(rng.integers(-32766, 32767, (V3,) * 3).astype(np.int16))
+    weight = jnp.asarray(rng.integers(0, 100, (V3,) * 3).astype(np.int8))
+    depth = jnp.asarray((rng.random((H, W)) * 4).astype(np.float32))
+    depth = depth.at[5:9, 5:9].set(0.0)
+    K = G.get_camera_matrix(jnp.array([30.0, 30.0, 16.0, 12.0]))
+    dim = (4.8, 4.8, 4.8)
+
+    th = 0.7
+    rot = np.eye(4, dtype=np.float32)
+    rot[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                            [-np.sin(th), 0, np.cos(th)]], np.float32)
+    rot[:3, 3] = [1.0, 2.0, 1.0]
+    poses = {
+        "corner": G.translation_pose([0.3, 0.3, 0.1]),
+        "outside": G.translation_pose([2.4, 2.4, 6.0]),  # behind the far wall
+        "rotated": jnp.asarray(rot),
+    }
+    for name, pose in poses.items():
+        inv = G.rigid_inverse(pose)
+        t1, w1 = map(np.asarray, integrate(
+            tsdf, weight, depth, inv, K, 0.1, params.MAX_WEIGHT, dim))
+        for nz, ny in ((8, 8), (4, 4)):
+            vis = np.asarray(block_visibility(nz, ny, dim, inv, K, depth, 0.1))
+            t2, w2 = map(np.asarray, integrate_blocks(
+                tsdf, weight, depth, inv, K, 0.1, params.MAX_WEIGHT, dim,
+                n_z=nz, n_y=ny))
+            assert (w1 == w2).all(), f"{name} {nz}x{ny}: weights differ"
+            d = np.abs(t1.astype(np.int32) - t2.astype(np.int32))
+            assert d.max() <= 1, f"{name} {nz}x{ny}: max lsb {d.max()}"
+            assert (d > 0).mean() < 1e-3, f"{name} {nz}x{ny}"
+            if name == "outside":
+                assert vis.sum() == 0      # total cull => untouched volume
+                assert (t1 == np.asarray(tsdf)).all()
+            else:
+                # the cull must actually remove blocks for these poses
+                assert 0 < vis.sum() < vis.size

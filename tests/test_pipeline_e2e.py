@@ -19,13 +19,13 @@ def dataset(tmp_path_factory):
                             dim=(4.8, 4.8, 4.8), amp=0.12)
 
 
-def _run(dataset, n_frames=30, vol_res=64, backend="auto"):
+def _run(dataset, n_frames=30, vol_res=64, backend="auto", **kw):
     man = dataset
     rd = RawDepthReader(man["raw"])
     W, H = man["image_size"]
     init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
     kf = KFusion((W, H), (vol_res,) * 3, man["dim"], init,
-                 (10, 5, 4), man["camera"], backend=backend)
+                 (10, 5, 4), man["camera"], backend=backend, **kw)
     state = kf.init_state()
     errs, tracked = [], []
     for frame in range(n_frames):
@@ -59,6 +59,36 @@ def test_pallas_backend_e2e(dataset):
     errs_p, tracked_p, _, _ = _run(dataset, n_frames=14, backend="pallas")
     assert tracked_p[4:].all()
     np.testing.assert_allclose(errs_p, errs_x, atol=2e-3)
+
+
+def test_cv_motion_model_e2e(dataset):
+    """Constant-velocity ICP warm start: the trajectory must stay inside
+    the same accuracy gate as the reference-style previous-pose start
+    (the prediction only moves the ICP *initial guess*; convergence is
+    to the same optimum on this smooth clip)."""
+    errs, tracked, _, _ = _run(dataset, motion_model="cv")
+    assert errs.mean() < 0.06, f"mean ATE {errs.mean():.4f} m"
+    assert tracked[4:].all(), "cv warm start lost tracking"
+
+
+def test_blocked_integrate_e2e(dataset, monkeypatch):
+    """Pipeline with the frustum-culled 8x8 block integrate forced on
+    (the TPU default; CPU default is monolithic): same gate, and the
+    trajectory must match the monolithic run to sub-voxel."""
+    monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "8x8")
+    errs_b, tracked_b, _, kf = _run(dataset, n_frames=14)
+    assert kf.integrate_block_grid == (8, 8)
+    monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "0")
+    errs_m, tracked_m, _, kf2 = _run(dataset, n_frames=14)
+    assert kf2.integrate_block_grid == (1, 1)
+    assert tracked_b[4:].all()
+    np.testing.assert_allclose(errs_b, errs_m, atol=2e-3)
+
+
+def test_motion_model_validation():
+    with pytest.raises(ValueError):
+        KFusion((16, 12), (16,) * 3, (2.0,) * 3, (1, 1, 0), (2, 2),
+                (30.0, 30.0, 8.0, 6.0), motion_model="accel")
 
 
 def test_backend_validation():
