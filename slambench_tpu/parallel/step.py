@@ -391,9 +391,9 @@ class ShardedKFusion(KFusion):
 
             def do(args):
                 tsdf, weight = args
-                bz, by = self.integrate_block_grid
+                bz, by, bx = self.integrate_block_grid
                 bz = max(1, bz // n)       # z-blocks per slab
-                if (bz, by) == (1, 1) or self.slab_z % bz:
+                if (bz, by, bx) == (1, 1, 1) or self.slab_z % bz:
                     return integrate(
                         tsdf, weight, state.float_depth,
                         rigid_inverse(pose), get_camera_matrix(self._k),
@@ -402,11 +402,11 @@ class ShardedKFusion(KFusion):
                         z_total=self.volume_resolution[2])
                 # Frustum-culled blocks WITHIN the shard's slab: the
                 # z-shard is the outer partition, the cull skips the
-                # slab's off-frustum (z, y) blocks (ops/integrate.py).
+                # slab's off-frustum (z, y, x) blocks (ops/integrate.py).
                 return integrate_blocks(
                     tsdf, weight, state.float_depth, rigid_inverse(pose),
                     get_camera_matrix(self._k), self.mu, params.MAX_WEIGHT,
-                    self.volume_dimensions, n_z=bz, n_y=by,
+                    self.volume_dimensions, n_z=bz, n_y=by, n_x=bx,
                     z_offset=idx * self.slab_z,
                     z_total=self.volume_resolution[2])
 

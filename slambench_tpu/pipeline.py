@@ -150,24 +150,28 @@ class KFusion:
         # Fine ray-march step = min(dim) / max(res) (reference: kernels.h:116).
         self.step = min(self.volume_dimensions) / max(self.volume_resolution)
         # Frustum-culled block integration (ops/integrate.integrate_blocks):
-        # env "NZxNY" overrides; "1x1"/"0" disables. Default: 8x8 blocks
-        # on TPU for the fast tiers (measured 1.8x on hardware at the
-        # bench pose, PROFILE.md §7 / profiles/r3_probe.json); monolithic
-        # on CPU (XLA:CPU gathers are vectorized — 64 serialized cond
-        # blocks only add loop overhead there) and for the jnp oracle
-        # tier (the reference's unconditional voxel stream).
+        # env "NZxNY[xNX]" overrides; "1x1"/"0" disables. Default: 8x8x2
+        # blocks on TPU for the fast tiers (8x8 measured 1.8x on hardware
+        # at the bench pose; the x-split cuts live voxels 50% -> ~35%
+        # more, PROFILE.md §7 / profiles/r3_probe.json); monolithic on
+        # CPU (XLA:CPU gathers are vectorized — serialized cond blocks
+        # only add loop overhead there) and for the jnp oracle tier (the
+        # reference's unconditional voxel stream).
         blk = os.environ.get("SLAMBENCH_INTEGRATE_BLOCKS", "auto")
         rz, ry = self.volume_resolution[2], self.volume_resolution[1]
+        rx = self.volume_resolution[0]
         if blk in ("auto", ""):
             on_tpu = jax.default_backend() == "tpu"
-            nz, ny = (8, 8) if (backend != "jnp" and on_tpu) else (1, 1)
+            nz, ny, nx = (8, 8, 2) if (backend != "jnp" and on_tpu) \
+                else (1, 1, 1)
         elif blk == "0":
-            nz, ny = 1, 1
+            nz, ny, nx = 1, 1, 1
         else:
-            nz, ny = (int(v) for v in blk.lower().split("x"))
-        if rz % nz or ry % ny:
-            nz, ny = 1, 1
-        self.integrate_block_grid = (nz, ny)
+            parts = [int(v) for v in blk.lower().split("x")]
+            nz, ny, nx = parts if len(parts) == 3 else (*parts, 1)
+        if rz % nz or ry % ny or rx % nx:
+            nz, ny, nx = 1, 1, 1
+        self.integrate_block_grid = (nz, ny, nx)
         self.gaussian = jnp.asarray(make_gaussian())
 
         self._levels = len(self.iterations)
@@ -316,8 +320,8 @@ class KFusion:
 
         def do(args):
             tsdf, weight, _ = args
-            nz, ny = self.integrate_block_grid
-            if (nz, ny) == (1, 1):
+            nz, ny, nx = self.integrate_block_grid
+            if (nz, ny, nx) == (1, 1, 1):
                 tsdf, weight = integrate(
                     tsdf, weight, state.float_depth, rigid_inverse(pose),
                     get_camera_matrix(self._k), self.mu,
@@ -327,7 +331,7 @@ class KFusion:
                     tsdf, weight, state.float_depth, rigid_inverse(pose),
                     get_camera_matrix(self._k), self.mu,
                     params.MAX_WEIGHT, self.volume_dimensions,
-                    n_z=nz, n_y=ny)
+                    n_z=nz, n_y=ny, n_x=nx)
             return tsdf, weight, make_min_mip(tsdf)
 
         tsdf, weight, mip = jax.lax.cond(

@@ -132,29 +132,42 @@ def main(argv=None) -> int:
 
     # ------------- 1b. frustum-culled block integrate ------------------ #
     # Bench-like pose: camera at (0.34, 0.5, 0.24)*dim looking along +z
-    # (the canonical traj2-like start), against a synthetic room depth.
+    # (the canonical traj2-like start). Depth: the real synthetic-room
+    # bench frame when the bench dataset exists (the cull's live
+    # fraction is scene-dependent), else the random image above.
     from slambench_tpu import geometry as G
     from slambench_tpu.ops.integrate import block_visibility, integrate_blocks
 
     pose = G.translation_pose([0.34 * dim[0], 0.5 * dim[1], 0.24 * dim[2]])
     inv_bench = G.rigid_inverse(pose)
+    try:
+        from slambench_tpu.io.readers import RawDepthReader
+        from slambench_tpu.ops.preprocess import mm2meters
+        rd = RawDepthReader("/tmp/slambench_tpu_bench/synth.raw")
+        depth_b = mm2meters(jnp.asarray(rd.read_next_depth_frame()), 2)
+        print("block sweep: real bench-scene depth", file=sys.stderr)
+    except Exception:
+        depth_b = depth
+        print("block sweep: random depth (no bench dataset)",
+              file=sys.stderr)
 
-    for (nz, ny) in ((8, 1), (8, 4), (8, 8), (16, 8)):
-        if V % nz or V % ny:
+    for (nz, ny, nx) in ((8, 8, 1), (8, 8, 2), (8, 8, 8),
+                         (16, 16, 2), (16, 16, 8)):
+        if V % nz or V % ny or V % nx:
             continue
         vis = np.asarray(block_visibility(
-            nz, ny, dim, inv_bench, K, depth, 0.1))
+            nz, ny, dim, inv_bench, K, depth_b, 0.1, n_x=nx))
 
         @jax.jit
-        def integ_blk(t, w, d, _nz=nz, _ny=ny):
+        def integ_blk(t, w, d, _nz=nz, _ny=ny, _nx=nx):
             def body(i, c):
                 return integrate_blocks(c[0], c[1], d, inv_bench, K, 0.1,
                                         params.MAX_WEIGHT, dim,
-                                        n_z=_nz, n_y=_ny)
+                                        n_z=_nz, n_y=_ny, n_x=_nx)
             return jax.lax.fori_loop(0, REPS, body, (t, w))
 
-        dt = _timeit(integ_blk, tsdf0, w0, depth) / REPS
-        report(f"integrate_blocks_{nz}x{ny}", dt,
+        dt = _timeit(integ_blk, tsdf0, w0, depth_b) / REPS
+        report(f"integrate_blocks_{nz}x{ny}x{nx}", dt,
                f"(visible {vis.sum()}/{vis.size})")
 
     # ---------------- 2. row gather for the ICP ref fetch -------------- #

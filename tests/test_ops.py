@@ -193,15 +193,16 @@ def test_integrate_blocks_matches_monolithic():
         inv = G.rigid_inverse(pose)
         t1, w1 = map(np.asarray, integrate(
             tsdf, weight, depth, inv, K, 0.1, params.MAX_WEIGHT, dim))
-        for nz, ny in ((8, 8), (4, 4)):
-            vis = np.asarray(block_visibility(nz, ny, dim, inv, K, depth, 0.1))
+        for nz, ny, nx in ((8, 8, 1), (4, 4, 1), (8, 8, 2), (4, 4, 4)):
+            vis = np.asarray(block_visibility(nz, ny, dim, inv, K, depth,
+                                              0.1, n_x=nx))
             t2, w2 = map(np.asarray, integrate_blocks(
                 tsdf, weight, depth, inv, K, 0.1, params.MAX_WEIGHT, dim,
-                n_z=nz, n_y=ny))
-            assert (w1 == w2).all(), f"{name} {nz}x{ny}: weights differ"
+                n_z=nz, n_y=ny, n_x=nx))
+            assert (w1 == w2).all(), f"{name} {nz}x{ny}x{nx}: weights differ"
             d = np.abs(t1.astype(np.int32) - t2.astype(np.int32))
-            assert d.max() <= 1, f"{name} {nz}x{ny}: max lsb {d.max()}"
-            assert (d > 0).mean() < 1e-3, f"{name} {nz}x{ny}"
+            assert d.max() <= 1, f"{name} {nz}x{ny}x{nx}: max lsb {d.max()}"
+            assert (d > 0).mean() < 1e-3, f"{name} {nz}x{ny}x{nx}"
             if name == "outside":
                 assert vis.sum() == 0      # total cull => untouched volume
                 assert (t1 == np.asarray(tsdf)).all()

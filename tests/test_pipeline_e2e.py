@@ -72,15 +72,15 @@ def test_cv_motion_model_e2e(dataset):
 
 
 def test_blocked_integrate_e2e(dataset, monkeypatch):
-    """Pipeline with the frustum-culled 8x8 block integrate forced on
+    """Pipeline with the frustum-culled 8x8x2 block integrate forced on
     (the TPU default; CPU default is monolithic): same gate, and the
     trajectory must match the monolithic run to sub-voxel."""
-    monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "8x8")
+    monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "8x8x2")
     errs_b, tracked_b, _, kf = _run(dataset, n_frames=14)
-    assert kf.integrate_block_grid == (8, 8)
+    assert kf.integrate_block_grid == (8, 8, 2)
     monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "0")
     errs_m, tracked_m, _, kf2 = _run(dataset, n_frames=14)
-    assert kf2.integrate_block_grid == (1, 1)
+    assert kf2.integrate_block_grid == (1, 1, 1)
     assert tracked_b[4:].all()
     np.testing.assert_allclose(errs_b, errs_m, atol=2e-3)
 
