@@ -76,6 +76,12 @@ def analytic_traffic(kf, icp_iters: int | None = None) -> Dict[str, dict]:
             "count": 1,
             "what": "level-0 diagnostic result map reassembly (i32 rows)",
         },
+        "preprocess_all_gather": {
+            "bytes": H * W * 4,
+            "count": 1,
+            "what": "row-sharded bilateral-filter band reassembly "
+                    "(f32 rows, parallel/step.py:_sharded_preprocessing)",
+        },
     }
     total = sum(v["bytes"] for v in out.values())
     out["total"] = {"bytes": total, "count": None,

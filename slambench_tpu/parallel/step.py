@@ -22,8 +22,13 @@ single-device — SURVEY.md §2.4):
   every device solves the 6x6 system identically (replicated pose, no
   host round-trip).
 
-Preprocessing is replicated (it is ~1% of frame time; a Pallas row-shard
-is a later optimization).
+* **Row-sharded preprocessing** — the bilateral filter (the expensive
+  preprocess op) runs on each device's row band of the output, cut from
+  the replicated mm2meters result with a wrapped 2-row apron (the
+  reference's uint-wraparound border bug reproduced across band seams),
+  then one ~300 KB ``all_gather`` re-replicates the filtered depth for
+  integration and the pyramids. This removes the replicated-preprocess
+  Amdahl term that capped projected 8-chip efficiency (SCALING.md).
 """
 
 from __future__ import annotations
@@ -43,6 +48,7 @@ from slambench_tpu.geometry import (
     get_camera_matrix, get_inverse_camera_matrix, mat4mul, rigid_inverse,
 )
 from slambench_tpu.ops.integrate import integrate, integrate_blocks
+from slambench_tpu.ops.preprocess import bilateral_filter, mm2meters
 from slambench_tpu.ops.raycast import camera_rays, ray_box_clip
 from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import reduce_track, track
@@ -163,14 +169,22 @@ class ShardedKFusion(KFusion):
     def _slab_raycast(self, tsdf_slab: jax.Array, view: jax.Array
                       ) -> Tuple[jax.Array, jax.Array]:
         """Slab-composited raycast; returns replicated (vertex, normal)
-        full-image maps. Uses the same mip-skipping nearest-sample march
-        as the single-device fast backend (ops/raycast_fast.mip_march),
-        with a slab-local min-mip built from the halo-extended slab —
-        cells aligned to the extended slab keep the conservative
-        (m+1)-overlap property locally, which is all the per-slab march
-        needs."""
+        full-image maps. Uses the same chebyshev-skip nearest-sample
+        march as the single-device fast backend
+        (ops/raycast_fast.mip_march + make_skip_mip), with the skip
+        table built from a slab-local min-mip of the halo-extended slab.
+
+        Slab-boundary soundness of the distance transform: the
+        transform treats cells beyond the extended slab as empty, which
+        is only unsound for volume that is OUTSIDE this shard's march
+        interval — every t in [my_tnear, my_tfar] has its z inside the
+        halo-extended slab (the halo covers the large_step entry
+        margin), and cells of a skip ball inside the extended slab are
+        provably crossing-free from local data. Crossings beyond the
+        slab belong to (and are found by) the neighbouring shard; the
+        pmin composition keeps the first hit."""
         from slambench_tpu.ops.raycast_fast import (
-            MIP_BLOCK, mip_march, rescan_refine,
+            MIP_BLOCK, make_skip_mip, mip_march, rescan_refine,
         )
 
         H, W = self.H, self.W
@@ -199,7 +213,7 @@ class ShardedKFusion(KFusion):
                 window_dimensions=tuple(win), window_strides=tuple(stride),
                 padding=pad)
         mzb, myb, mxb = mip_local.shape
-        flat_mip = mip_local.reshape(-1)
+        flat_skip = make_skip_mip(mip_local).reshape(-1)
         flat_ext = ext.reshape(-1)
         ext_z = ext.shape[0]
 
@@ -237,28 +251,32 @@ class ShardedKFusion(KFusion):
             return take_flat(flat_ext, (lz * sy + y) * sx + x).astype(
                 jnp.float32) * params.TSDF_INV_SCALE
 
-        def mip_t(t):
+        def dist_t(t):
             x, y, lz = local_idx(t)
             bx = jnp.clip(x // m, 0, mxb - 1)
             by = jnp.clip(y // m, 0, myb - 1)
             bz = jnp.clip(lz // m, 0, mzb - 1)
-            return take_flat(flat_mip, (bz * myb + by) * mxb + bx).astype(
-                jnp.float32) * params.TSDF_INV_SCALE
+            return take_flat(flat_skip, (bz * myb + by) * mxb + bx).astype(
+                jnp.int32)
 
-        def exit_t(t):
+        def dist_exit_t(t, d_val):
+            """Exit of the (2(d-1)+1)^3-cell guaranteed-empty ball; cell
+            bounds in world space — z cells live on the ext-local grid
+            (offset z0_ext planes from the global origin)."""
             pos = o + direction * t[None]
             x, y, lz = local_idx(t)
-            # Cell bounds in world space; z cells live on the ext-local
-            # grid (offset z0_ext planes from the global origin).
             bx = (x // m).astype(jnp.float32)
             by = (y // m).astype(jnp.float32)
             bz = (lz // m).astype(jnp.float32)
+            r = (d_val - 1).astype(jnp.float32)
             vx_, vy_ = dim[0] / sx, dim[1] / sy
-            lo = jnp.stack([bx * (m * vx_),
-                            by * (m * vy_),
-                            (bz * m + z0_ext) * vz])
-            hi = lo + jnp.array([m * vx_, m * vy_, m * vz],
-                                jnp.float32).reshape(3, 1, 1)
+            cell = jnp.array([m * vx_, m * vy_, m * vz],
+                             jnp.float32).reshape(3, 1, 1)
+            base = jnp.stack([bx * (m * vx_),
+                              by * (m * vy_),
+                              (bz * m + z0_ext) * vz])
+            lo = base - r * cell
+            hi = base + (r + 1.0) * cell
             d = jnp.where(direction == 0, 1e-20, direction)
             t_axis = jnp.where(d > 0, (hi - pos) / d, (lo - pos) / d)
             dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
@@ -270,8 +288,9 @@ class ShardedKFusion(KFusion):
 
         max_iters = int((params.FAR_PLANE - params.NEAR_PLANE)
                         / self.step) + 2
-        out = mip_march(nearest_t, mip_t, exit_t, my_tnear, my_tfar,
-                        self.step, large_step, max_iters)
+        out = mip_march(nearest_t, None, None, my_tnear, my_tfar,
+                        self.step, large_step, max_iters,
+                        dist_t=dist_t, dist_exit_t=dist_exit_t)
         t_hit_local = rescan_refine(tri_t, out, self.step)
 
         # First hit across slabs.
@@ -365,6 +384,43 @@ class ShardedKFusion(KFusion):
 
     # --------------------------- sharded step -------------------------- #
 
+    def _sharded_preprocessing(self, state: KFusionState,
+                               input_depth: jax.Array) -> KFusionState:
+        """mm->m conversion (replicated — a strided cast, ~1 MB) +
+        row-sharded bilateral filter.
+
+        Each device filters its ``H/n`` output-row band, cut from the
+        replicated mm2meters result with a ``RADIUS``-row apron whose
+        out-of-image rows reproduce the reference's uint-wraparound
+        CLAMP border bug exactly: a negative row offset wraps to a huge
+        uint and clamps to H-1, so EVERY above-image neighbour reads the
+        bottom row (cpp/kernels.cpp:173-180 via
+        ops/preprocess.bilateral_filter; the crop discards the band-edge
+        handling the filter itself applies, so only these apron rows
+        feed border pixels). One image-sized ``all_gather`` then
+        re-replicates the filtered depth for the pyramid build and the
+        slab-local integrate. Falls back to the replicated path when the
+        rows don't divide or under the Pallas tier."""
+        n, axis = self.n_shards, self.axis
+        H = self.H
+        if n == 1 or H % n or self.backend == "pallas":
+            return self._preprocessing(state, input_depth)
+        in_h, in_w = input_depth.shape
+        ratio = in_w // self.W
+        fd = mm2meters(input_depth, ratio)
+        hb = H // n
+        r = params.RADIUS
+        idx = jax.lax.axis_index(axis)
+        rows = idx * hb + jnp.arange(-r, hb + r)
+        # uint-wraparound clamp: negative -> H-1 (not a modular wrap).
+        rows = jnp.where(rows < 0, H - 1, jnp.minimum(rows, H - 1))
+        band_ext = jnp.take(fd, rows, axis=0)
+        band = bilateral_filter(band_ext, self.gaussian, params.E_DELTA,
+                                r)[r:-r]
+        sd0 = jax.lax.all_gather(band, axis, axis=0, tiled=True)
+        return dataclasses.replace(state, float_depth=fd,
+                                   scaled_depth0=sd0)
+
     def _make_sharded_step(self):
         axis = self.axis
         n = self.n_shards
@@ -373,8 +429,8 @@ class ShardedKFusion(KFusion):
                         tracking_on: bool, integrate_frame: bool,
                         force_integrate: bool, raycast_on: bool
                         ) -> KFusionState:
-            # ---- preprocessing (replicated) --------------------------- #
-            state = self._preprocessing(state, input_depth)
+            # ---- preprocessing (row-sharded bilateral) ---------------- #
+            state = self._sharded_preprocessing(state, input_depth)
 
             # ---- tracking: row-sharded ICP with psum ------------------ #
             if tracking_on:

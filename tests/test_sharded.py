@@ -51,7 +51,18 @@ def test_shard_count_invariance(dataset):
     failing for any systematic halo bug, which corrupts whole boundary
     BANDS of the raycast (see test_slab_raycast_matches_single_device's
     fraction-of-pixels bound — the millimetre-sensitive check lives
-    there, where ICP amplification can't launder it)."""
+    there, where ICP amplification can't launder it).
+
+    Why not bit-identity for the 1-shard run vs the fast backend
+    (ADVICE r2): measured 2026-08-20 — the trajectories ARE bit-equal
+    through the bootstrap frames (0-3) and diverge at millimetre scale
+    from the first tracked frame on: the slab march's skip cells live
+    on the halo-extended local grid (z phase-offset by z0_ext = -halo
+    from the single-device cell grid) and its march interval enters at
+    the slab boundary, so a few silhouette hits re-bracket sub-voxel
+    even at n=1, and ICP amplifies that chaotically. The divergence
+    class is identical to the 8-shard one; the sharp bit-level guard is
+    the 4-shard slab-raycast parity test."""
     man = dataset
     init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
     args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
@@ -71,6 +82,29 @@ def test_shard_count_invariance(dataset):
         d = np.linalg.norm(pos_n - pos1, axis=1)
         assert d.max() < voxel / 4, \
             f"{name} pose divergence {d.max():.4f} m"
+
+
+def test_sharded_preprocessing_matches_replicated(dataset):
+    """Row-sharded bilateral filter (parallel/step.py:
+    _sharded_preprocessing): the band decomposition with wrapped aprons
+    must reproduce the replicated filter EXACTLY, including the
+    reference's uint-wraparound border rows at the band seams and the
+    global top/bottom edges."""
+    man = dataset
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
+            man["camera"])
+    kf_ref = KFusion(*args, backend="fast")
+    d = RawDepthReader(man["raw"]).read_next_depth_frame()
+    d = jnp.asarray(np.ascontiguousarray(d))
+    s_ref = kf_ref.preprocessing(kf_ref.init_state(), d)
+    for n in (4, 8):                       # 120 rows: bands of 30 / 15
+        kf_sh = ShardedKFusion(*args, mesh=make_mesh(n))
+        s_sh = kf_sh.process_frame(kf_sh.init_state(), d, frame=0)
+        np.testing.assert_array_equal(
+            np.asarray(s_sh.float_depth), np.asarray(s_ref.float_depth))
+        np.testing.assert_array_equal(
+            np.asarray(s_sh.scaled_depth0), np.asarray(s_ref.scaled_depth0))
 
 
 def test_slab_raycast_matches_single_device():
