@@ -355,12 +355,15 @@ class KFusion:
         else:
             # Temporal warm start: the previous raycast bounds where the
             # (static) scene surface can be, shrunk by the rigid-motion
-            # margin between the two raycast poses. Env-switchable: with
-            # the two-level mip, empty-space marching is cheap and the
-            # march cost is set by the LONGEST ray (which the warm start
-            # does not shorten — misses get no bound), so the bound's
-            # value is scene-dependent; sweep both on hardware.
-            if os.environ.get("SLAMBENCH_WARM_START", "1") != "0":
+            # margin between the two raycast poses. Default OFF: the
+            # lockstep march's trip count is set by the LONGEST ray, and
+            # miss/sky rays get no bound from the warm start, so it was
+            # measured SLOWER both profiling days (172->202 ms r2,
+            # 140->164 ms r3, PROFILE.md §6) — the bound computation
+            # costs without cutting the critical path. Env-switchable
+            # for scenes with full surface coverage (no miss rays),
+            # where the bound does shorten the longest ray.
+            if os.environ.get("SLAMBENCH_WARM_START", "0") == "1":
                 delta = mat4mul(rigid_inverse(state.raycast_pose),
                                 state.pose)
                 t_init = warm_start_bound(

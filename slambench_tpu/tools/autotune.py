@@ -10,6 +10,8 @@ structural parameters:
   (ops/pallas/reduce.py; env ``SLAMBENCH_TILE_ROWS``),
 * ``mip_block`` — min-mip cell edge of the accelerated raycast
   (ops/raycast_fast.py; env ``SLAMBENCH_MIP_BLOCK``),
+* ``blocks`` — frustum-culled integrate block grid
+  (ops/integrate.py; env ``SLAMBENCH_INTEGRATE_BLOCKS``),
 
 and the output is the same ``name duration_ns`` stream check_kernels
 consumes.
@@ -201,9 +203,70 @@ def sweep_refine(values, resolution: int, iters: int, out=sys.stdout):
     return rows
 
 
+def sweep_blocks(values, resolution: int, iters: int, out=sys.stdout):
+    """Time the frustum-culled integrate per block grid (NZxNY[xNX],
+    env ``SLAMBENCH_INTEGRATE_BLOCKS``) at the canonical bench pose;
+    uses the real bench-scene depth when the bench dataset exists."""
+    import jax
+    import jax.numpy as jnp
+    from slambench_tpu import geometry as G
+    from slambench_tpu import params
+    from slambench_tpu.ops.integrate import (
+        block_visibility, integrate, integrate_blocks)
+
+    n = resolution
+    dim = (4.8, 4.8, 4.8)
+    rng = np.random.default_rng(0)
+    try:
+        from slambench_tpu.io.readers import RawDepthReader
+        from slambench_tpu.ops.preprocess import mm2meters
+        rd = RawDepthReader("/tmp/slambench_tpu_bench/synth.raw")
+        depth = mm2meters(jnp.asarray(rd.read_next_depth_frame()), 2)
+    except Exception:
+        depth = jnp.asarray(
+            (rng.random((240, 320)) * 3 + 0.5).astype(np.float32))
+    K = jnp.asarray(np.array(
+        [[240.6, 0, 160, 0], [0, 240.0, 120, 0],
+         [0, 0, 1, 0], [0, 0, 0, 1]], np.float32))
+    pose = G.translation_pose([0.34 * dim[0], 0.5 * dim[1], 0.24 * dim[2]])
+    inv = G.rigid_inverse(pose)
+    tsdf = jnp.asarray(np.full((n, n, n), 32766, np.int16))
+    w0 = jnp.asarray(np.zeros((n, n, n), np.int8))
+
+    rows = []
+    for spec in values:
+        parts = [int(x) for x in str(spec).lower().split("x")]
+        nz, ny, nx = parts if len(parts) == 3 else (*parts, 1)
+        if n % nz or n % ny or n % nx:
+            continue
+        if (nz, ny, nx) == (1, 1, 1):
+            fn = jax.jit(lambda t, w, d: integrate(
+                t, w, d, inv, K, 0.1, params.MAX_WEIGHT, dim))
+            vis_n, vis_d = 1, 1
+        else:
+            fn = jax.jit(lambda t, w, d, _z=nz, _y=ny, _x=nx:
+                         integrate_blocks(t, w, d, inv, K, 0.1,
+                                          params.MAX_WEIGHT, dim,
+                                          n_z=_z, n_y=_y, n_x=_x))
+            vis = np.asarray(block_visibility(nz, ny, dim, inv, K,
+                                              depth, 0.1, n_x=nx))
+            vis_n, vis_d = int(vis.sum()), vis.size
+        t, w = fn(tsdf, w0, depth)
+        jax.block_until_ready(t)
+        t0 = time.monotonic()
+        for _ in range(iters):
+            t, w = fn(t, w, depth)     # chained: w saturates, t stable
+        _fetch(t)
+        ns = (time.monotonic() - t0) / iters * 1e9
+        print(f"integrate[blocks={nz}x{ny}x{nx}] {ns:.0f} {n ** 3} "
+              f"visible={vis_n}/{vis_d}", file=out)
+        rows.append(((nz, ny, nx), ns))
+    return rows
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("kernel", choices=["reduce", "mip", "refine"])
+    ap.add_argument("kernel", choices=["reduce", "mip", "refine", "blocks"])
     ap.add_argument("--values", default=None,
                     help="comma-separated parameter values to sweep")
     ap.add_argument("--iters", type=int, default=8)
@@ -218,6 +281,10 @@ def main(argv=None) -> int:
     elif args.kernel == "refine":
         values = (args.values or "8:4,6:3,4:3,4:2,3:2,2:2").split(",")
         rows = sweep_refine(values, args.resolution, args.iters)
+    elif args.kernel == "blocks":
+        values = (args.values
+                  or "1x1x1,8x8x1,8x8x2,8x8x8,16x16x2,16x16x8").split(",")
+        rows = sweep_blocks(values, args.resolution, args.iters)
     else:
         values = [int(v) for v in (args.values or "4,8,16,32").split(",")]
         rows = sweep_mip(values, args.resolution, args.iters)

@@ -8,8 +8,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-import sys
-sys.path.insert(0, "/root/repo")
+
+
 from slambench_tpu import params
 from slambench_tpu.volume import pack_tsdf, take_flat, voxel_centers_axis
 

@@ -214,6 +214,25 @@ def main(argv=None) -> int:
            state.tsdf, state.weight,
            bytes_per_call=vol_bytes * 2)
 
+    # ---- integrate through the pipeline's default path (the frustum-
+    # culled block grid on TPU) + mip, as the fused frame runs it ---- #
+    nz, ny, nx = kf.integrate_block_grid
+    if (nz, ny, nx) != (1, 1, 1):
+        from slambench_tpu.ops.integrate import integrate_blocks
+
+        def integ_blk_mip(tsdf, weight):
+            t, w = integrate_blocks(
+                tsdf, weight, fd, inv_track, cam_k, 0.1,
+                params.MAX_WEIGHT, kf.volume_dimensions,
+                n_z=nz, n_y=ny, n_x=nx)
+            return t, w, make_min_mip(t)
+
+        timeit(f"integrate_blocks_{nz}x{ny}x{nx}_plus_mip",
+               _chain_loop(lambda t, w: integ_blk_mip(t, w),
+                           lambda c, a: (c[0], c[1]), reps),
+               state.tsdf, state.weight,
+               bytes_per_call=vol_bytes * 2)
+
     # ---- make_min_mip ---- #
     mip_bytes = V ** 3 * 2 + (V // 8) * V * V * 2  # read vol + 1st pass out
     timeit("make_min_mip",

@@ -59,10 +59,23 @@ def project_scaling(profile: dict, image=(320, 240), volume=256,
         return float(v["ms"]) if isinstance(v, dict) else default
 
     t_track = ms("tracking_phase")
-    t_int = ms("integrate_plus_mip_fused") or (
-        ms("integrate") + ms("make_min_mip"))
-    t_ray = ms("raycast_warm") or ms("raycast_cold")
-    t_pre = ms("bilateral_filter") + ms("mm2meters")
+    # Integrate: prefer the pipeline's actual default path (the
+    # frustum-culled block grid, keyed integrate_blocks_<grid>_plus_mip),
+    # then the monolithic fused/mip fallbacks.
+    blk_keys = [k for k in profile
+                if k.startswith("integrate_blocks_")
+                and k.endswith("_plus_mip")]
+    t_int = (ms(blk_keys[0]) if blk_keys else 0.0) \
+        or ms("integrate_plus_mip_fused") \
+        or (ms("integrate") + ms("make_min_mip"))
+    # Raycast: the cold march is the pipeline default (warm start
+    # measured slower, PROFILE.md §6).
+    t_ray = ms("raycast_cold") or ms("raycast_warm")
+    # Preprocessing: the bilateral filter is row-sharded
+    # (parallel/step.py:_sharded_preprocessing, reassembled by one
+    # image all_gather); the mm2meters strided cast stays replicated.
+    t_bilateral = ms("bilateral_filter")
+    t_mm = ms("mm2meters")
 
     rows = []
     t1 = None
@@ -76,11 +89,13 @@ def project_scaling(profile: dict, image=(320, 240), volume=256,
                                  ici_lat_us))
         c_icp = icp_iters * _coll_time_us(32 * 4, n, "allreduce",
                                           ici_gbps, ici_lat_us)
-        c_gather = _coll_time_us(npix * 4, n, "allgather", ici_gbps,
-                                 ici_lat_us)
+        # track-result diagnostic + preprocess band reassembly.
+        c_gather = 2 * _coll_time_us(npix * 4, n, "allgather", ici_gbps,
+                                     ici_lat_us)
         comm_ms = (c_halo + c_ray + c_icp + c_gather) / 1e3
 
-        t = (t_pre + t_track / n + t_int / n + t_ray / n) + comm_ms
+        t = (t_mm + t_bilateral / n
+             + t_track / n + t_int / n + t_ray / n) + comm_ms
         if t1 is None:
             t1 = t
         rows.append({
@@ -89,7 +104,7 @@ def project_scaling(profile: dict, image=(320, 240), volume=256,
             "fps": round(1e3 / t, 2),
             "comm_ms": round(comm_ms, 3),
             "comm_bytes": 0 if n == 1 else int(
-                halo_b + 4 * npix * 4 + icp_iters * 128 + npix * 4),
+                halo_b + 4 * npix * 4 + icp_iters * 128 + 2 * npix * 4),
             "efficiency": round(t1 / t / n, 4),
         })
     return rows

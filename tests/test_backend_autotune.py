@@ -94,6 +94,21 @@ def test_autotune_mip_sweep_runs_on_cpu():
         assert float(ns) > 0 and int(pixels) == 240 * 320
 
 
+def test_autotune_blocks_sweep_runs_on_cpu():
+    out = io.StringIO()
+    rows = autotune.sweep_blocks(["1x1x1", "4x4", "4x4x2"],
+                                 resolution=32, iters=1, out=out)
+    lines = out.getvalue().strip().splitlines()
+    assert len(lines) == 3 and len(rows) == 3
+    for line in lines:
+        name, ns, voxels, vis = line.split()
+        assert name.startswith("integrate[blocks=")
+        assert float(ns) > 0 and int(voxels) == 32 ** 3
+        assert vis.startswith("visible=")
+    grids = [r[0] for r in rows]
+    assert grids == [(1, 1, 1), (4, 4, 1), (4, 4, 2)]
+
+
 def test_autotune_cli_reports_best(capsys):
     rc = autotune.main(["reduce", "--values", "128",
                         "--pixels", "1280", "--iters", "1"])
