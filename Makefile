@@ -16,9 +16,26 @@
 PYTHON ?= python
 DATA   ?= datasets
 
-# Per-trajectory parameters (reference: Makefile:2-6).
+# Per-trajectory parameters (reference: Makefile:2-6 — all four rows
+# mirrored; the synthetic generator varies the camera path per row:
+# synth1 starts off-centre like traj1, synth3 is the fast/aggressive
+# clip standing in for the reference's hardest trajectory).
 synth0_PARS = -s 5.0 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+synth1_PARS = -s 5.0 -p 0.485,0.5,0.55 -z 4 -c 2 -r 2 -k 481.2,480,320,240
 synth2_PARS = -s 4.8 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+synth3_PARS = -s 5.0 -p 0.2685,0.5,0.4 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+
+# Trajectory-shape parameters consumed by the dataset rule; the
+# init_pos_factor matches each row's -p. Measured ATE means (64^3
+# probe config; 256^3 is ~5x tighter on the easy rows): synth0/synth2
+# ~0.02 m (the accuracy gate), synth3 (fast clip) ~0.06 m, synth1
+# ~0.11 m — the room-centre start faces only the back half of the
+# scene, a weakly-constrained view that makes it this table's hard
+# row, the role the reference's traj3 plays there (its published
+# bound is mean 0.117 m, reference: README.md:380).
+synth1_GEN = init_pos_factor=(0.485,0.5,0.55), amp=0.18, period=60
+synth3_GEN = init_pos_factor=(0.2685,0.5,0.4), amp=0.4, period=40
+DEFAULT_GEN = amp=0.25, period=60
 
 .PHONY: all native datasets test bench clean
 
@@ -31,9 +48,10 @@ $(DATA)/%.raw:
 	mkdir -p $(DATA)
 	$(PYTHON) -c "from slambench_tpu.io.synthetic import generate_dataset; \
 	generate_dataset('$(DATA)', n_frames=120, image_size=(640,480), \
-	dim=(4.8,4.8,4.8), amp=0.25, period=60, name='$*')"
+	dim=(4.8,4.8,4.8), $(or $($*_GEN),$(DEFAULT_GEN)), name='$*')"
 
-datasets: $(DATA)/synth0.raw $(DATA)/synth2.raw
+datasets: $(DATA)/synth0.raw $(DATA)/synth1.raw $(DATA)/synth2.raw \
+          $(DATA)/synth3.raw
 
 # Run + evaluate pattern rule (reference: Makefile:46-72).
 %.log: $(DATA)/%.raw
