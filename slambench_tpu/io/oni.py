@@ -172,12 +172,14 @@ class OniReader:
         chunk_pos = self._f.tell()
         while True:
             chunk = self._f.read(1 << 16)
-            if not chunk:
-                return False
+            if len(chunk) < len(needle):      # EOF (a 1-3 byte tail can
+                return False                  # not hold the magic)
             i = chunk.find(needle)
             if i >= 0:
                 self._f.seek(chunk_pos + i)
                 return True
+            # Overlap by 3 bytes so a magic straddling the chunk edge is
+            # found; guaranteed forward progress since len(chunk) >= 4.
             chunk_pos += len(chunk) - 3
             self._f.seek(chunk_pos)
 

@@ -35,8 +35,6 @@ def integrate(tsdf: jax.Array,
               dim: Dim3 = (2.0, 2.0, 2.0),
               z_offset=0,
               z_total: int = 0,
-              y_offset=0,
-              y_total: int = 0,
               zs_centers: jax.Array = None,
               ys_centers: jax.Array = None,
               xs_centers: jax.Array = None) -> Tuple[jax.Array, jax.Array]:
@@ -47,8 +45,9 @@ def integrate(tsdf: jax.Array,
     (reference: cpp/kernels.cpp:995-996). ``z_offset``/``z_total`` support
     sharded slabs: the local ``tsdf[z]`` plane corresponds to global voxel
     index ``z + z_offset`` of a ``z_total``-deep volume (0 => unsharded);
-    ``y_offset``/``y_total`` likewise for frustum-culled y-blocks. The
-    offsets may be traced scalars (block indices inside ``lax.scan``).
+    ``z_offset`` may be a traced scalar. Frustum-culled blocks must pass
+    the PRE-SLICED ``*s_centers`` overrides instead (see below) to keep
+    bit-identity with the monolithic call.
 
     Update rule per voxel (reference: cpp/kernels.cpp:645-669):
       skip if camera-space z < 1e-4, projected pixel outside the image, or
@@ -59,7 +58,6 @@ def integrate(tsdf: jax.Array,
     sz, sy, sx = tsdf.shape
     H, W = depth.shape
     z_total = z_total or sz
-    y_total = y_total or sy
 
     # ``*_centers`` overrides (frustum-culled blocks) carry PRE-SLICED
     # world coordinates so the arithmetic below folds/fuses exactly as
@@ -68,9 +66,8 @@ def integrate(tsdf: jax.Array,
     # 1 ulp on knife-edge voxels; measured, tests/test_ops.py).
     xs = xs_centers if xs_centers is not None else \
         voxel_centers_axis(sx, dim[0])                      # [sx]
-    ys = ys_centers if ys_centers is not None else (
-        jnp.arange(sy, dtype=jnp.float32) + y_offset + 0.5) * (
-        dim[1] / y_total)                                   # [sy]
+    ys = ys_centers if ys_centers is not None else \
+        voxel_centers_axis(sy, dim[1])                      # [sy]
     zs_global = zs_centers if zs_centers is not None else (
         jnp.arange(sz, dtype=jnp.float32) + z_offset + 0.5) * (
         dim[2] / z_total)                                   # [sz]
@@ -133,17 +130,25 @@ def block_visibility(n_z: int, n_y: int,
     gather dominates (PROFILE.md §2), so culling whole blocks against
     the camera frustum is the one XLA-expressible way to skip it.
 
-    The cull is EXACT (never skips an updatable voxel): each frustum
-    face is a half-space linear in camera coordinates, so if all 8
-    corners of a block's AABB fall outside one face, every interior
-    point does too, and for each face the corresponding update
-    precondition then fails for every voxel:
+    The cull is EXACT up to an explicit conservative slack (never
+    skips an updatable voxel): each frustum face is a half-space linear
+    in camera coordinates, so if all 8 corners of a block's AABB fall
+    outside one face, every interior point does too, and for each face
+    the corresponding update precondition then fails for every voxel:
       * near:  ``pz >= 1e-4``  (in_front),
       * image: ``0 <= u <= W-1``, ``0 <= v <= H-1`` (in_img; points with
         ``cz <= 0`` fail in_front instead, so the linear form
         ``cx + 0.5*cz >= 0`` etc. is sufficient either way),
       * far:   ``diff > -mu`` needs ``cz < d + mu/corr <= max(depth)+mu``
         (corr >= 1), so ``cz >= max(depth)+mu`` everywhere kills it.
+
+    Slack: the corner evaluations here use the fused ``K @ inv_track``
+    product while :func:`integrate` projects voxels two-stage, so the
+    two round differently by a few f32 ulps. Each face test therefore
+    carries a margin far above that ulp scale (0.5 pixel*m on the image
+    forms whose magnitudes are ~1e2-1e3; 1e-5 m on near/far) — a
+    knife-edge voxel within the margin keeps its block live instead of
+    risking the monolithic-vs-blocked parity contract.
     """
     H, W = depth.shape
     # Block AABB corner grid in world space: [n_z, n_y, n_x, 8, 3].
@@ -169,13 +174,15 @@ def block_visibility(n_z: int, n_y: int,
     cz = M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z + M[2, 3]
 
     dmax = jnp.max(depth)
+    eps_z = 1e-5                # near/far slack (meters)
+    eps_i = 0.5                 # image-face slack (pixel*m forms)
     corner_ok = jnp.stack([
-        cz >= 1e-4,                                        # near
-        cz < dmax + mu,                                    # far
-        cx + 0.5 * cz >= 0,                                # u >= 0
-        (W - 1.5) * cz - cx >= 0,                          # u <= W-1
-        cy + 0.5 * cz >= 0,                                # v >= 0
-        (H - 1.5) * cz - cy >= 0,                          # v <= H-1
+        cz >= 1e-4 - eps_z,                                # near
+        cz < dmax + mu + eps_z,                            # far
+        cx + 0.5 * cz >= -eps_i,                           # u >= 0
+        (W - 1.5) * cz - cx >= -eps_i,                     # u <= W-1
+        cy + 0.5 * cz >= -eps_i,                           # v >= 0
+        (H - 1.5) * cz - cy >= -eps_i,                     # v <= H-1
     ])                                          # [6, n_z, n_y, n_x, 2,2,2]
     # Visible unless some face has ALL corners outside it.
     any_corner = jnp.any(

@@ -69,25 +69,6 @@ def make_min_mip(tsdf: jax.Array, m: int = MIP_BLOCK) -> jax.Array:
     return out
 
 
-# Second-level skip cell, in first-level cells (covers m*MIP2_BLOCK
-# voxels — 32 at the defaults). Level-1 cells already overlap by one
-# voxel, so a plain non-overlapping min-pool of the level-1 mip bounds
-# every trilinear sample whose base voxel lies in the level-2 cell:
-# cell I covers level-1 cells [4I, 4I+4), i.e. voxels [32I, 32I+32]
-# inclusive. Sky rays (the trip-count-critical population — every march
-# iteration gathers for ALL rays, so the max ray length sets the cost)
-# cross the volume in ~diag/(m*m2*voxel) hops instead of ~diag/(m*voxel).
-MIP2_BLOCK = int(os.environ.get("SLAMBENCH_MIP2_BLOCK", "4"))
-
-
-def make_min_mip2(mip: jax.Array, m2: int = MIP2_BLOCK) -> jax.Array:
-    """Non-overlapping min-pool of the level-1 mip (see MIP2_BLOCK)."""
-    return jax.lax.reduce_window(
-        mip, jnp.int16(32767), jax.lax.min,
-        window_dimensions=(m2, m2, m2), window_strides=(m2, m2, m2),
-        padding=[(0, (-mip.shape[i]) % m2) for i in range(3)])
-
-
 # Chebyshev-distance skip radius cap, in level-1 cells (so up to
 # (SKIP_MAX_D-1)*MIP_BLOCK voxels are cleared per skip-table lookup).
 SKIP_MAX_D = int(os.environ.get("SLAMBENCH_SKIP_MAX_D", "7"))
@@ -111,7 +92,8 @@ def make_skip_mip(mip: jax.Array, max_d: int = SKIP_MAX_D) -> jax.Array:
 
     Cost: ``max_d - 1`` 3^3 min-pools over the (tiny) mip grid, rebuilt
     per raycast from the state's mip — no extra pipeline state. This
-    replaces the level-2 mip: one skip-table gather per march substep
+    replaced the round-2 two-level mip ladder (removed once measured
+    slower, see PROFILE.md §6): one skip-table gather per march substep
     instead of level-1 + level-2 gathers, with jumps up to
     ``(max_d-1)*m`` voxels instead of ``m*m2``.
     """
@@ -160,7 +142,6 @@ def raycast_fast(tsdf: jax.Array,
     voxel = jnp.array([dim[0] / sx, dim[1] / sy, dim[2] / sz],
                       jnp.float32).reshape(3, 1, 1)
     flat_vol = tsdf.reshape(-1)
-    flat_mip = mip.reshape(-1)
     mzb, myb, mxb = mip.shape
     # Chebyshev skip table: derived from the mip on the fly (tiny — 32^3
     # int8 at 256^3/defaults), so it needs no pipeline state.
@@ -220,9 +201,8 @@ def raycast_fast(tsdf: jax.Array,
         + int(3.0 * (0.8 / 0.75) * large_step / step) \
         + int((far_plane - near_plane) / large_step) + 16
 
-    out = mip_march(nearest_t, None, None, tnear, tfar,
-                    step, large_step, max_iters,
-                    dist_t=dist_t, dist_exit_t=dist_exit_t)
+    out = mip_march(nearest_t, dist_t, dist_exit_t, tnear, tfar,
+                    step, large_step, max_iters)
     t_hit = rescan_refine(tri_t, out, step,
                           nscan=RAYCAST_NSCAN if nscan is None else nscan,
                           fp_iters=(RAYCAST_REFINE_ITERS
@@ -241,12 +221,10 @@ def raycast_fast(tsdf: jax.Array,
 MARCH_UNROLL = max(1, int(os.environ.get("SLAMBENCH_MARCH_UNROLL", "4")))
 
 
-def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
+def mip_march(nearest_t, dist_t, dist_exit_t, tnear, tfar,
               step: float, large_step: float, max_iters: int,
-              unroll: int = MARCH_UNROLL,
-              mip2_t=None, exit2_t=None,
-              dist_t=None, dist_exit_t=None) -> dict:
-    """The mip-skipping nearest-sample march, parameterized over the
+              unroll: int = MARCH_UNROLL) -> dict:
+    """The skip-table nearest-sample march, parameterized over the
     per-t samplers so the single-volume and sharded-slab raycasts share
     one implementation. Returns the march state dict (hit, t, t_prev).
 
@@ -255,20 +233,19 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
     the step-per-iteration loop.
 
     Skip structure (every march iteration gathers for ALL rays — done
-    lanes included, lockstep vectors — so the longest ray sets the cost):
+    lanes included, lockstep vectors — so the longest ray sets the
+    cost): ``dist_t``/``dist_exit_t`` sample a chebyshev-distance table
+    (make_skip_mip) — ONE gather yields both emptiness (d >= 1) and the
+    guaranteed-empty ball to jump through, with jumps growing with
+    distance from the surface. (The round-2 level-1/level-2 min-mip
+    ladder this replaced lived behind the same sampler interface;
+    removed once measured slower, PROFILE.md §6.)
 
-    * ``mip_t``/``exit_t``: level-1 cell emptiness + cell exit;
-      ``mip2_t``/``exit2_t`` (optional, both or neither) add a coarser
-      second level.
-    * ``dist_t``/``dist_exit_t`` (alternative; ``mip_t`` may then be
-      None): a chebyshev-distance table (make_skip_mip) — ONE gather
-      yields both emptiness (d >= 1) and the guaranteed-empty ball to
-      jump through, with jumps growing with distance from the surface.
-
-    All skip variants land on cell boundaries, so the t at which the
-    march enters the first occupied cell along a ray — and therefore the
-    bracket the refine stage polishes — is identical across them
-    (phase-free hops; pinned by the fast-vs-slab ULP-exactness test)."""
+    Skips land on cell boundaries, so the t at which the march enters
+    the first occupied cell along a ray — and therefore the bracket the
+    refine stage polishes — is independent of the skip ladder that got
+    it there (phase-free hops; pinned by the fast-vs-slab ULP-exactness
+    test)."""
     f_t0 = nearest_t(tnear)
     active = tnear < tfar
     marching = active & (f_t0 > 0)
@@ -290,29 +267,17 @@ def mip_march(nearest_t, mip_t, exit_t, tnear, tfar,
         live = ~s["done"]
         f_tt = nearest_t(s["t"])
 
-        if dist_t is not None:
-            d_val = dist_t(s["t"])
-            empty = d_val >= 1           # provably no crossing in the cell
-        else:
-            empty = mip_t(s["t"]) >= 0.0
-            if mip2_t is not None:
-                empty2 = mip2_t(s["t"]) >= 0.0   # whole level-2 cell empty
-                empty = empty | empty2
+        d_val = dist_t(s["t"])
+        empty = d_val >= 1               # provably no crossing in the cell
 
         is_hit = live & ~empty & (f_tt < 0.0)
         hit = s["hit"] | is_hit
 
-        # Empty cell: jump to the skip-structure exit; occupied:
+        # Empty cell: jump to the skip-ball exit; occupied:
         # reference stepping.
         new_step = jnp.where(f_tt < 0.8, step, s["stepsize"])
         t_step = s["t"] + new_step
-        if dist_t is not None:
-            t_skip = jnp.maximum(dist_exit_t(s["t"], d_val), t_step)
-        else:
-            t_skip = jnp.maximum(exit_t(s["t"]), t_step)
-            if mip2_t is not None:
-                t_skip = jnp.where(
-                    empty2, jnp.maximum(exit2_t(s["t"]), t_step), t_skip)
+        t_skip = jnp.maximum(dist_exit_t(s["t"], d_val), t_step)
         t_next = jnp.where(empty, t_skip, t_step)
 
         cont = live & ~is_hit

@@ -76,13 +76,19 @@ def analytic_traffic(kf, icp_iters: int | None = None) -> Dict[str, dict]:
             "count": 1,
             "what": "level-0 diagnostic result map reassembly (i32 rows)",
         },
-        "preprocess_all_gather": {
+    }
+    # Row-sharded preprocessing falls back to fully-replicated when the
+    # rows don't divide the mesh or under the Pallas tier
+    # (parallel/step.py:_sharded_preprocessing) — only count its
+    # all_gather when the sharded path is actually taken.
+    n = getattr(kf, "n_shards", 1)
+    if n > 1 and H % n == 0 and getattr(kf, "backend", "fast") != "pallas":
+        out["preprocess_all_gather"] = {
             "bytes": H * W * 4,
             "count": 1,
             "what": "row-sharded bilateral-filter band reassembly "
                     "(f32 rows, parallel/step.py:_sharded_preprocessing)",
-        },
-    }
+        }
     total = sum(v["bytes"] for v in out.values())
     out["total"] = {"bytes": total, "count": None,
                     "what": "per-frame per-device collective payload"}

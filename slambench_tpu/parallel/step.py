@@ -288,9 +288,8 @@ class ShardedKFusion(KFusion):
 
         max_iters = int((params.FAR_PLANE - params.NEAR_PLANE)
                         / self.step) + 2
-        out = mip_march(nearest_t, None, None, my_tnear, my_tfar,
-                        self.step, large_step, max_iters,
-                        dist_t=dist_t, dist_exit_t=dist_exit_t)
+        out = mip_march(nearest_t, dist_t, dist_exit_t, my_tnear, my_tfar,
+                        self.step, large_step, max_iters)
         t_hit_local = rescan_refine(tri_t, out, self.step)
 
         # First hit across slabs.

@@ -168,7 +168,11 @@ class KFusion:
             nz, ny, nx = 1, 1, 1
         else:
             parts = [int(v) for v in blk.lower().split("x")]
-            nz, ny, nx = parts if len(parts) == 3 else (*parts, 1)
+            if not 1 <= len(parts) <= 3:
+                raise ValueError(
+                    f"SLAMBENCH_INTEGRATE_BLOCKS={blk!r}: use NZ, NZxNY "
+                    "or NZxNYxNX")
+            nz, ny, nx = (parts + [1, 1])[:3]
         if rz % nz or ry % ny or rx % nx:
             nz, ny, nx = 1, 1, 1
         self.integrate_block_grid = (nz, ny, nx)

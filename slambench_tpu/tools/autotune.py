@@ -236,7 +236,7 @@ def sweep_blocks(values, resolution: int, iters: int, out=sys.stdout):
     rows = []
     for spec in values:
         parts = [int(x) for x in str(spec).lower().split("x")]
-        nz, ny, nx = parts if len(parts) == 3 else (*parts, 1)
+        nz, ny, nx = (parts + [1, 1])[:3]
         if n % nz or n % ny or n % nx:
             continue
         if (nz, ny, nx) == (1, 1, 1):

@@ -97,6 +97,30 @@ def test_oni_resync_on_corruption(tmp_path):
     np.testing.assert_array_equal(got[-1], frames[-1])
 
 
+def test_oni_corrupt_tail_terminates(tmp_path):
+    """A trashed FINAL record followed by garbage must terminate (the
+    resync scan previously made zero progress on a <4-byte tail and
+    spun forever) and still return the intact frames."""
+    path = str(tmp_path / "rec.oni")
+    frames = _frames(2)
+    w = OniWriter(path, 16, 12)
+    for d in frames:
+        w.write(d)
+    w.close()
+    blob = bytearray(open(path, "rb").read())
+    needle = struct.pack("<I", 0x0052494E)
+    last = blob.rfind(needle)                 # the END record
+    blob[last:last + 4] = b"XXXX"
+    blob += b"\x4e" * 41                      # garbage tail, no magic
+    open(path, "wb").write(bytes(blob))
+
+    rd = OniReader(path)
+    got = list(rd.depth_frames())             # must not hang
+    rd.close()
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[1], frames[1])
+
+
 def test_oni_bad_magic(tmp_path):
     path = str(tmp_path / "not.oni")
     open(path, "wb").write(b"RIFFxxxx")

@@ -85,6 +85,20 @@ def test_blocked_integrate_e2e(dataset, monkeypatch):
     np.testing.assert_allclose(errs_b, errs_m, atol=2e-3)
 
 
+def test_integrate_blocks_env_forms(monkeypatch):
+    """SLAMBENCH_INTEGRATE_BLOCKS accepts NZ / NZxNY / NZxNYxNX and
+    rejects malformed values loudly."""
+    args = ((16, 12), (16,) * 3, (2.0,) * 3, (1, 1, 0), (2, 2),
+            (30.0, 30.0, 8.0, 6.0))
+    for blk, want in (("8", (8, 1, 1)), ("8x4", (8, 4, 1)),
+                      ("8x4x2", (8, 4, 2))):
+        monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", blk)
+        assert KFusion(*args).integrate_block_grid == want
+    monkeypatch.setenv("SLAMBENCH_INTEGRATE_BLOCKS", "8x4x2x1")
+    with pytest.raises(ValueError, match="INTEGRATE_BLOCKS"):
+        KFusion(*args)
+
+
 def test_motion_model_validation():
     with pytest.raises(ValueError):
         KFusion((16, 12), (16,) * 3, (2.0,) * 3, (1, 1, 0), (2, 2),
