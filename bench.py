@@ -38,6 +38,11 @@ def main():
                     help="ICP warm start (cv = damped constant-velocity; "
                          "measured a wash on the tunneled endpoint, so the "
                          "reference behaviour stays the default)")
+    ap.add_argument("--scan-chunk", type=int, default=8,
+                    help="steady-state frames per dispatch (lax.scan "
+                         "batching; matches per-frame dispatch to FMA "
+                         "ulps — tested — and avoids the tunnel's per-"
+                         "dispatch round-trip; 0/1 = per-frame)")
     ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
     args = ap.parse_args()
 
@@ -105,10 +110,21 @@ def main():
                     force_integrate=(frame <= 3),
                     raycast_on=(frame > 2))
 
-    # Warmup: run the first 5 frames (compiles all gate variants).
+    # Warmup: run the first 5 frames (compiles all gate variants), and
+    # compile (without executing) the scan-batched steady-state step.
+    chunk = max(args.scan_chunk, 1)
     t_compile = time.monotonic()
     for frame in range(min(5, n_frames)):
         state = kf.compute_frame(state, frames[frame], **gates(frame))
+    if chunk > 1 and n_frames - 5 >= chunk:
+        # Execute the scan once on a throwaway state copy: .lower()
+        # .compile() would not warm the jit dispatch cache, leaving the
+        # first timed scan call to (re)load the executable.
+        scratch = jax.tree.map(jnp.copy, state)
+        scratch, _ = kf.compute_frames_scan(
+            scratch, jnp.stack(frames[5:5 + chunk]))
+        jax.block_until_ready(scratch)
+        del scratch
     jax.block_until_ready(state)
     _ = np.asarray(state.pose[0, 0])   # value-fetch fence (CLAUDE.md)
     t_compile = time.monotonic() - t_compile
@@ -122,15 +138,26 @@ def main():
     # semantics (reference: benchmark.cpp:125-158).
     t0 = time.monotonic()
     traj = []
-    for frame in range(5, n_frames):
-        state = kf.compute_frame(state, frames[frame], **gates(frame))
-        traj.append(state.pose[:3, 3])
+    frame = 5
+    while frame < n_frames:
+        if chunk > 1 and n_frames - frame >= chunk:
+            # Full chunks only (a ragged tail chunk would compile a
+            # second scan length inside the timed region).
+            state, tr = kf.compute_frames_scan(
+                state, jnp.stack(frames[frame:frame + chunk]))
+            traj.append(tr)
+            frame += chunk
+        else:
+            state = kf.compute_frame(state, frames[frame], **gates(frame))
+            traj.append(state.pose[None, :3, 3])
+            frame += 1
     jax.block_until_ready(state)
     _ = np.asarray(state.pose[0, 0])   # value-fetch fence
     dt = time.monotonic() - t0
     fps = (n_frames - 5) / dt
 
-    traj = np.asarray(jnp.stack(traj)) if traj else np.zeros((0, 3))
+    traj = np.concatenate([np.asarray(t) for t in traj]) \
+        if traj else np.zeros((0, 3))
     errs = np.linalg.norm(traj - poses[5:n_frames, :3, 3], axis=1)
     ate_mean = float(np.mean(errs)) if len(errs) else float("nan")
 
@@ -181,6 +208,7 @@ def main():
         "backend": jax.default_backend(),
         "backend_tier": kf.backend,
         "motion_model": kf.motion_model,
+        "scan_chunk": chunk,
         "integrate_blocks": "x".join(map(str, kf.integrate_block_grid)),
         "device_eff_gbps": round(gbps, 1),
         "device_eff_bf16_tflops": round(tflops, 2),

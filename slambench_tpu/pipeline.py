@@ -188,6 +188,8 @@ class KFusion:
                                    static_argnames=("integrate_frame",
                                                     "force_integrate"))
         self.raycasting = jax.jit(self._raycasting, donate_argnums=0)
+        self.compute_frames_scan = jax.jit(
+            self._compute_frames_scan, donate_argnums=0)
         self.compute_frame = jax.jit(
             self._compute_frame, donate_argnums=0,
             static_argnames=("tracking_on", "integrate_frame",
@@ -399,6 +401,35 @@ class KFusion:
         if raycast_on:
             state = self._raycasting(state)
         return state
+
+    def _compute_frames_scan(self, state: KFusionState,
+                             depths: jax.Array
+                             ) -> Tuple[KFusionState, jax.Array]:
+        """``lax.scan`` of the fused steady-state frame over a stacked
+        depth batch ``[N, H, W]``; returns (state, per-frame pose
+        positions [N, 3]).
+
+        Dispatch-granularity batching, not a semantics change: each
+        frame runs the same fused step as :meth:`compute_frame` with the
+        steady-state gates (tracking + integrate on, no forced
+        bootstrap, raycast on — the reference's ``-r 1`` loop past
+        frame 3), sequentially, carrying the state. Matches N per-frame
+        dispatches to FMA-contraction ulps (measured 5.7e-6 m over 7
+        frames — XLA contracts the scan body differently than the
+        standalone jit; asserted at 0.1 mm on positions plus measured
+        knife-edge-voxel LSB bounds by tests/test_pipeline_e2e.py);
+        what it removes is the PER-FRAME
+        host dispatch round-trip, which on a tunneled endpoint is
+        material (BENCHMARKS.md). Bootstrap frames (<= 3) and
+        rate-gated schedules still go through per-frame dispatch."""
+        def body(s, depth):
+            s = self._compute_frame(s, depth, tracking_on=True,
+                                    integrate_frame=True,
+                                    force_integrate=False,
+                                    raycast_on=True)
+            return s, s.pose[:3, 3]
+
+        return jax.lax.scan(body, state, depths)
 
     # ---------------------------- frontends --------------------------- #
 

@@ -85,6 +85,54 @@ def test_blocked_integrate_e2e(dataset, monkeypatch):
     np.testing.assert_allclose(errs_b, errs_m, atol=2e-3)
 
 
+def test_scan_batched_frames_match_per_frame(dataset):
+    """compute_frames_scan (dispatch batching for the tunneled
+    endpoint) vs per-frame dispatch: same fused step, same order, only
+    the dispatch granularity differs. Measured: NOT bit-identical —
+    XLA contracts FMAs differently inside the scan body than in the
+    standalone jit (max 5.7e-6 m pose drift over 7 frames, the same
+    ulp class as the blocked-integrate contract). On the TSDF the pose
+    ulps surface as (measured, 64^3/7 frames): 0.29% of voxels off by
+    1 LSB (rounding), 5 voxels beyond 2 LSB and ONE knife-edge voxel
+    whose ``diff > -mu`` update mask flipped (1665 LSB) — so the
+    assert is 0.1 mm on positions, <2% voxels off at all, <1e-4 of
+    them beyond 2 LSB."""
+    man = dataset
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
+            man["camera"])
+    rd = RawDepthReader(man["raw"])
+    frames = [jnp.asarray(np.ascontiguousarray(rd.read_next_depth_frame()))
+              for _ in range(12)]
+
+    def boot(kf):
+        s = kf.init_state()
+        for f in range(5):
+            s = kf.compute_frame(s, frames[f], tracking_on=True,
+                                 integrate_frame=True,
+                                 force_integrate=(f <= 3),
+                                 raycast_on=(f > 2))
+        return s
+
+    kf1 = KFusion(*args, backend="fast")
+    s1 = boot(kf1)
+    poses1 = []
+    for f in range(5, 12):
+        s1 = kf1.compute_frame(s1, frames[f], tracking_on=True,
+                               integrate_frame=True, force_integrate=False,
+                               raycast_on=True)
+        poses1.append(np.asarray(s1.pose[:3, 3]))
+
+    kf2 = KFusion(*args, backend="fast")
+    s2 = boot(kf2)
+    s2, traj = kf2.compute_frames_scan(s2, jnp.stack(frames[5:12]))
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(poses1),
+                               atol=1e-4)
+    d = np.abs(np.asarray(s2.tsdf, np.int32) - np.asarray(s1.tsdf, np.int32))
+    assert (d > 0).mean() < 0.02, f"{(d > 0).mean():.4f} voxels differ"
+    assert (d > 2).mean() < 1e-4, f"{(d > 2).sum()} voxels beyond 2 LSB"
+
+
 def test_integrate_blocks_env_forms(monkeypatch):
     """SLAMBENCH_INTEGRATE_BLOCKS accepts NZ / NZxNY / NZxNYxNX and
     rejects malformed values loudly."""
