@@ -20,6 +20,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running multi-process / e2e tests")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
