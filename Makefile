@@ -69,6 +69,12 @@ test:
 bench:
 	$(PYTHON) bench.py
 
+# Live multi-process ("multi-host") collective check: 2 OS processes x
+# 2 virtual CPU devices run psum/ppermute + one full sharded step over
+# a global mesh (tools/distributed_probe.py; DCN stand-in = gRPC).
+distributed-check:
+	$(PYTHON) -m pytest tests/test_distributed.py -x -q
+
 clean:
 	$(MAKE) -C slambench_tpu/native clean
 	rm -f *.log resume.*
