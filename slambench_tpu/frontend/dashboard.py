@@ -140,6 +140,10 @@ class DashboardState:
         # web page cannot fire cross-origin /control?cmd=quit at the
         # loopback server.
         self.token = secrets.token_hex(8)
+        # /mesh.ply provider (set by the run loop): () -> PLY bytes of
+        # the CURRENT reconstruction (tools/mesh_export surface nets) —
+        # a live-export capability the reference's Qt GUI lacks.
+        self.mesh_provider = None
 
     # Pipeline-side -----------------------------------------------------
     def publish(self, frame: int, tracked: bool, integrated: bool,
@@ -267,6 +271,8 @@ canvas{background:#232327;display:block;margin:4px 0}
 <button onclick="ctl('break_frame',document.getElementById('bf').value)">
 set</button>
 <button onclick="ctl('break_untracked','1')">break on untracked</button>
+&nbsp; <a href="/mesh.ply" download="reconstruction.ply"
+   style="color:#8ab4f8">download mesh (.ply)</a>
 </p>
 <p class="lbl">runtime parameters (rebuilds the pipeline, resets state):
 volume-resolution <input id="rc_vr" size="4">
@@ -383,6 +389,17 @@ def make_handler(state: DashboardState):
             elif url.path == "/stats.json":
                 self._send(200, "application/json",
                            json.dumps(state.snapshot()).encode())
+            elif url.path == "/mesh.ply":
+                provider = state.mesh_provider
+                if provider is None:
+                    self._send(503, "text/plain", b"no mesh provider")
+                    return
+                try:
+                    body = provider()
+                except Exception as e:    # surface errors to the client
+                    self._send(500, "text/plain", str(e).encode())
+                    return
+                self._send(200, "application/octet-stream", body)
             elif url.path in ("/control", "/reconfig"):
                 # Token-guarded GET kept for curl convenience; the token
                 # is the CSRF defense either way.
@@ -510,6 +527,16 @@ def run_dashboard(argv=None) -> int:
         t = np.asarray(kf.render_track_image(kf_state))
         v = np.asarray(kf.render_volume_image(kf_state))
         return encode_png(compose_tile(d, t, v))
+
+    def mesh_ply() -> bytes:
+        # Closure sees the loop's CURRENT kf/kf_state rebinds; reading a
+        # device array from the HTTP thread is safe (pure fetch).
+        from slambench_tpu.tools.mesh_export import ply_bytes, surface_nets
+        vol = np.asarray(kf_state.tsdf).astype(np.float32) / 32766.0
+        verts, tris = surface_nets(vol, dim=kf.volume_dimensions)
+        return ply_bytes(verts, tris)
+
+    dash.mesh_provider = mesh_ply
 
     frame = 0
     try:

@@ -145,20 +145,21 @@ def surface_nets(vol: np.ndarray, dim=(1.0, 1.0, 1.0)):
     return verts, tris
 
 
+def ply_bytes(verts: np.ndarray, tris: np.ndarray) -> bytes:
+    head = (f"ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element face {len(tris)}\n"
+            "property list uchar int vertex_indices\nend_header\n").encode()
+    rec = np.empty(len(tris), dtype=[("n", "u1"), ("v", "<i4", 3)])
+    rec["n"] = 3
+    rec["v"] = tris
+    return head + verts.astype("<f4").tobytes() + rec.tobytes()
+
+
 def write_ply(path: str, verts: np.ndarray, tris: np.ndarray) -> None:
     with open(path, "wb") as f:
-        f.write((f"ply\nformat binary_little_endian 1.0\n"
-                 f"element vertex {len(verts)}\n"
-                 "property float x\nproperty float y\nproperty float z\n"
-                 f"element face {len(tris)}\n"
-                 "property list uchar int vertex_indices\nend_header\n")
-                .encode())
-        verts.astype("<f4").tofile(f)
-        counts = np.full((len(tris), 1), 3, np.uint8)
-        rec = np.empty(len(tris), dtype=[("n", "u1"), ("v", "<i4", 3)])
-        rec["n"] = counts[:, 0]
-        rec["v"] = tris
-        rec.tofile(f)
+        f.write(ply_bytes(verts, tris))
 
 
 def write_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:

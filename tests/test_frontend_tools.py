@@ -144,6 +144,36 @@ def test_series_history_is_bounded():
     assert s.series["fps"][-1] == float(DashboardState.MAX_POINTS + 49)
 
 
+def test_http_mesh_endpoint():
+    """Live /mesh.ply export of the current reconstruction (beyond the
+    reference's Qt GUI; mesh bytes come from tools/mesh_export)."""
+    import numpy as np
+
+    from slambench_tpu.tools.mesh_export import ply_bytes, surface_nets
+
+    s = DashboardState()
+    httpd = serve(s, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # No provider yet: 503, not a crash.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + "/mesh.ply", timeout=5)
+        assert e.value.code == 503
+
+        i = (np.arange(24) + 0.5) / 24
+        z, y, x = np.meshgrid(i, i, i, indexing="ij")
+        vol = np.clip((np.sqrt((x - .5) ** 2 + (y - .5) ** 2
+                               + (z - .5) ** 2) - 0.3) * 6, -1, 1)
+        s.mesh_provider = lambda: ply_bytes(
+            *surface_nets(vol.astype(np.float32), dim=(2.0,) * 3))
+        body = urllib.request.urlopen(base + "/mesh.ply", timeout=5).read()
+        assert body.startswith(b"ply\nformat binary_little_endian")
+        assert b"element face" in body[:200]
+    finally:
+        httpd.shutdown()
+
+
 # --- rc persistence (reference: .kfusion_kinectrc) ---------------------
 
 def test_rc_save_load_roundtrip(tmp_path):
