@@ -73,7 +73,7 @@ bench:
 # 2 virtual CPU devices run psum/ppermute + one full sharded step over
 # a global mesh (tools/distributed_probe.py; DCN stand-in = gRPC).
 distributed-check:
-	$(PYTHON) -m pytest tests/test_distributed.py -x -q
+	$(PYTHON) -m pytest tests/test_distributed.py -x -q -m ""
 
 clean:
 	$(MAKE) -C slambench_tpu/native clean

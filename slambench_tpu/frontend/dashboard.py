@@ -144,6 +144,17 @@ class DashboardState:
         # the CURRENT reconstruction (tools/mesh_export surface nets) —
         # a live-export capability the reference's Qt GUI lacks.
         self.mesh_provider = None
+        # Volume-snapshot handshake for /mesh.ply: the pipeline's jitted
+        # steps DONATE the state pytree (pipeline.py donate_argnums=0),
+        # so the HTTP thread must never touch kf_state's device buffers
+        # directly — a dispatch on the pipeline thread can invalidate
+        # them mid-fetch. The HTTP thread sets ``mesh_request``; the
+        # pipeline thread fetches a host copy between dispatches (where
+        # the buffers are guaranteed live), stores it in ``mesh_tsdf``
+        # and sets ``mesh_ready``.
+        self.mesh_request = threading.Event()
+        self.mesh_ready = threading.Event()
+        self.mesh_tsdf = None    # np.float32 [Z, Y, X] snapshot
 
     # Pipeline-side -----------------------------------------------------
     def publish(self, frame: int, tracked: bool, integrated: bool,
@@ -168,10 +179,14 @@ class DashboardState:
                 self.mode = PAUSED
                 self.break_at_frame = None
 
-    def wait_if_paused(self, poll_s: float = 0.05) -> str:
+    def wait_if_paused(self, poll_s: float = 0.05, idle_cb=None) -> str:
         """Block while PAUSED (unless a step credit is pending); returns
-        the mode that allowed progress ('RUNNING'/'STEP'/'CLOSED')."""
+        the mode that allowed progress ('RUNNING'/'STEP'/'CLOSED').
+        ``idle_cb`` runs each poll iteration on the pipeline thread —
+        used to service /mesh.ply snapshot requests while paused."""
         while True:
+            if idle_cb is not None:
+                idle_cb()
             with self.lock:
                 if self.mode == CLOSED:
                     return CLOSED
@@ -528,12 +543,28 @@ def run_dashboard(argv=None) -> int:
         v = np.asarray(kf.render_volume_image(kf_state))
         return encode_png(compose_tile(d, t, v))
 
+    def service_mesh_request() -> None:
+        # Pipeline-thread half of the /mesh.ply handshake: fetch a host
+        # snapshot of the volume BETWEEN dispatches, where the donated
+        # state buffers are guaranteed live (the jitted steps donate the
+        # state pytree, so an HTTP-thread fetch could race a dispatch
+        # that invalidates tsdf mid-copy).
+        if dash.mesh_request.is_set():
+            dash.mesh_tsdf = \
+                np.asarray(kf_state.tsdf).astype(np.float32) / 32766.0
+            dash.mesh_request.clear()
+            dash.mesh_ready.set()
+
     def mesh_ply() -> bytes:
-        # Closure sees the loop's CURRENT kf/kf_state rebinds; reading a
-        # device array from the HTTP thread is safe (pure fetch).
+        # HTTP-thread half: ask the pipeline thread for a snapshot, then
+        # triangulate the (host) copy here.
         from slambench_tpu.tools.mesh_export import ply_bytes, surface_nets
-        vol = np.asarray(kf_state.tsdf).astype(np.float32) / 32766.0
-        verts, tris = surface_nets(vol, dim=kf.volume_dimensions)
+        dash.mesh_ready.clear()
+        dash.mesh_request.set()
+        if not dash.mesh_ready.wait(timeout=60.0):
+            raise RuntimeError("pipeline thread did not service the mesh "
+                               "snapshot request (busy/stalled); retry")
+        verts, tris = surface_nets(dash.mesh_tsdf, dim=kf.volume_dimensions)
         return ply_bytes(verts, tris)
 
     dash.mesh_provider = mesh_ply
@@ -541,7 +572,8 @@ def run_dashboard(argv=None) -> int:
     frame = 0
     try:
         while True:
-            mode = dash.wait_if_paused()
+            service_mesh_request()
+            mode = dash.wait_if_paused(idle_cb=service_mesh_request)
             if mode == CLOSED:
                 break
             if mode == "RENDER":       # forceRender: no frame consumed

@@ -46,8 +46,12 @@ def load_tsdf(path: str, resolution: int | None) -> np.ndarray:
     value*32766) or a checkpoint .npz (utils/checkpoint.py)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
-            key = "tsdf" if "tsdf" in z else sorted(z.files)[0]
-            raw = z[key]
+            if "tsdf" not in z:
+                raise SystemExit(
+                    f"{path}: no 'tsdf' array in archive "
+                    f"(found: {', '.join(sorted(z.files))}) — expected a "
+                    "utils/checkpoint.py checkpoint")
+            raw = z["tsdf"]
         return raw.astype(np.float32) / 32766.0
     raw = np.fromfile(path, dtype="<i2")
     if resolution is None:
