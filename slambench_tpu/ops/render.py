@@ -112,13 +112,27 @@ def render_volume(tsdf: jax.Array,
                   large_step: float = 0.075,
                   light: Tuple[float, float, float] = params.LIGHT,
                   ambient: Tuple[float, float, float] = params.AMBIENT,
+                  mip: jax.Array | None = None,
                   ) -> jax.Array:
     """Raycast from an arbitrary viewpoint with diffuse shading.
 
     Reference: cpp/kernels.cpp:880-913 ``renderVolumeKernel``.
+
+    ``mip`` (optional): a :func:`make_min_mip` table for ``tsdf``. When
+    given, the march uses the chebyshev-skip fast raycast (the fast/
+    pallas production tiers, hit-position-compatible per the fast-vs-
+    oracle parity tests) instead of the reference-exact oracle march —
+    ~5-8x fewer volume gathers on render frames. Omit it for the jnp
+    oracle tier (reference-exact sampling).
     """
-    hit_pos, t_hit = raycast(tsdf, dim, view, image_size,
-                             near_plane, far_plane, step, large_step)
+    if mip is not None:
+        from slambench_tpu.ops.raycast_fast import raycast_fast
+        hit_pos, t_hit = raycast_fast(tsdf, mip, dim, view, image_size,
+                                      near_plane, far_plane, step,
+                                      large_step)
+    else:
+        hit_pos, t_hit = raycast(tsdf, dim, view, image_size,
+                                 near_plane, far_plane, step, large_step)
     g = grad(tsdf, dim, hit_pos)
     glen = length3(g)
     light_a = jnp.array(light, jnp.float32).reshape(3, 1, 1)

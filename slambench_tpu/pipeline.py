@@ -456,10 +456,14 @@ class KFusion:
 
     def _render_volume(self, state: KFusionState) -> jax.Array:
         view = mat4mul(state.pose, get_inverse_camera_matrix(self._k))
+        # fast/pallas tiers march with the chebyshev-skip raycast (the
+        # state's mip is already maintained for the tracking raycast);
+        # the jnp oracle tier keeps the reference-exact march.
         return render_volume(
             state.tsdf, self.volume_dimensions, view, (self.H, self.W),
             params.NEAR_PLANE, params.FAR_PLANE * 2.0,
-            self.step, 0.75 * self.mu)
+            self.step, 0.75 * self.mu,
+            mip=None if self.backend == "jnp" else state.mip)
 
     # ---------------------------- utilities --------------------------- #
 
