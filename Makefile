@@ -37,7 +37,7 @@ synth1_GEN = init_pos_factor=(0.485,0.5,0.55), amp=0.18, period=60
 synth3_GEN = init_pos_factor=(0.2685,0.5,0.4), amp=0.4, period=40
 DEFAULT_GEN = amp=0.25, period=60
 
-.PHONY: all native datasets test bench clean
+.PHONY: all native datasets datasets-icl test bench clean
 
 all: native datasets
 
@@ -52,6 +52,52 @@ $(DATA)/%.raw:
 
 datasets: $(DATA)/synth0.raw $(DATA)/synth1.raw $(DATA)/synth2.raw \
           $(DATA)/synth3.raw
+
+# ICL-NUIM download chain (reference: Makefile:37-43): wget the scene
+# tgz + ground truth, convert with tools/scene2raw. This environment has
+# zero network egress, so each rule probes connectivity first and exits
+# 0 with a notice when absent; the day egress exists, `make
+# datasets-icl` produces the real living_room_traj{0..3}_loop.raw files
+# (and proves scene2raw against real ICL-NUIM bytes).
+ICL_URL = http://www.doc.ic.ac.uk/~ahanda
+
+$(DATA)/living_room_traj%_loop:
+	@mkdir -p $(DATA)
+	@if wget -q --spider --timeout=10 \
+	    $(ICL_URL)/living_room_traj$(*F)_loop.tgz 2>/dev/null; then \
+	  mkdir -p $@ && cd $@ && \
+	  wget $(ICL_URL)/living_room_traj$(*F)_loop.tgz && \
+	  tar xzf living_room_traj$(*F)_loop.tgz; \
+	else \
+	  echo "no network egress: skipped ICL-NUIM scene download" \
+	       "(use 'make datasets' for the synthetic table)"; \
+	fi
+
+# Static pattern rule: the explicit target list keeps these from
+# falling through to the generic synthetic $(DATA)/%.raw rule above.
+ICL_RAWS = $(DATA)/living_room_traj0_loop.raw \
+           $(DATA)/living_room_traj1_loop.raw \
+           $(DATA)/living_room_traj2_loop.raw \
+           $(DATA)/living_room_traj3_loop.raw
+
+$(ICL_RAWS): $(DATA)/%.raw: $(DATA)/%
+	@if [ -n "$$(ls $< 2>/dev/null)" ]; then \
+	  $(PYTHON) -m slambench_tpu.tools.scene2raw $< $@; \
+	else echo "no ICL-NUIM scene directory (offline): skipped $@"; fi
+
+$(DATA)/livingRoom%.gt.freiburg:
+	@mkdir -p $(DATA)
+	@if wget -q --timeout=10 -O $@ \
+	    $(ICL_URL)/VaFRIC/livingRoom$(*F).gt.freiburg 2>/dev/null; then \
+	  echo "downloaded $@"; \
+	else rm -f $@; \
+	  echo "no network egress: skipped ground-truth download"; fi
+
+datasets-icl: $(ICL_RAWS) \
+              $(DATA)/livingRoom0.gt.freiburg \
+              $(DATA)/livingRoom1.gt.freiburg \
+              $(DATA)/livingRoom2.gt.freiburg \
+              $(DATA)/livingRoom3.gt.freiburg
 
 # Run + evaluate pattern rule (reference: Makefile:46-72).
 %.log: $(DATA)/%.raw

@@ -153,9 +153,20 @@ def main(argv=None):
     log = parse_benchmark_log(argv[0])
     gt = load_gt_trajectory(argv[1])
     ate = compute_ate(log, gt)
-    nvalid = int(np.sum(ate["valid"]))
+    nvalid = len(log["frame"])
+    # Field-for-field the reference's resume-log banner, including its
+    # spacing quirks (reference: checkPos.py:87-91): padded-trajectory
+    # length (pre-truncation), GT length, their min, and the tracked==0
+    # row count.
+    n_kf = nvalid + int(ate["dropped"])
+    untracked = int(np.sum(log["tracked"] == 0))
     print("KFusion valid frames %d,  dropped frames: %d"
           % (nvalid, int(ate["dropped"])))
+    print("KFusion result        : %d positions." % n_kf)
+    print("NUIM  result        : %d positions." % len(gt))
+    print("Working position is : %d" % min(n_kf, len(gt)))
+    print("Untracked frames: %d" % untracked)
+    print("Shift KFusion trajectory...")
     print_statistics(log, ate)
     return 0
 

@@ -76,6 +76,30 @@ def test_y_axis_flip_convention(tmp_path):
     np.testing.assert_allclose(ate["ATE"], 0.0, atol=1e-6)
 
 
+def test_resume_banner_parity(tmp_path, capsys):
+    """CLI banner is field-for-field the reference's
+    (checkPos.py:87-95): position counts, working position, untracked
+    count, trajectory-shift notice."""
+    from slambench_tpu.eval.check_pos import main
+    rows = [
+        [0] + [0.001] * 8 + [0.0, 0.0, 0.0] + [0, 1],   # untracked
+        [1] + [0.001] * 8 + [0.1, 0.0, 0.0] + [1, 1],
+        [4] + [0.001] * 8 + [0.4, 0.0, 0.0] + [1, 1],   # 2 dropped
+    ]
+    gt_lines = ["%d %f 0 0 0 0 0 1" % (i + 1, 0.1 * i) for i in range(7)]
+    log_p, gt_p = str(tmp_path / "b.log"), str(tmp_path / "gt.txt")
+    _write_log(log_p, rows)
+    open(gt_p, "w").write("\n".join(gt_lines) + "\n")
+    assert main([log_p, gt_p]) == 0
+    out = capsys.readouterr().out
+    assert "KFusion valid frames 3,  dropped frames: 2" in out
+    assert "KFusion result        : 5 positions." in out
+    assert "NUIM  result        : 7 positions." in out
+    assert "Working position is : 5" in out
+    assert "Untracked frames: 1" in out
+    assert "Shift KFusion trajectory..." in out
+
+
 def test_kernel_log_aggregation():
     lines = [
         "trackKernel 120000 320",
