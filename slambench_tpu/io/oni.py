@@ -23,13 +23,17 @@ Supported payload codecs: ``UNC_`` (uncompressed) and the OpenNI
 16-bit-depth zero codec ``16zP``/``16zT`` (embedded-table variant
 parsed, table ignored — values are stored verbatim in the stream).
 
-Fidelity caveat: written from the OpenNI 1.x on-disk record layout;
-this environment has no camera and no sample recordings, so the parser
-is validated by round-trip against :class:`OniWriter` (the same record
-layout) plus structural checks, not against camera-produced files. The
-parser therefore RE-SYNCS on the record magic after any malformed
-record, so a field-layout mismatch in one record type degrades to
-skipping that record rather than aborting the conversion.
+Fidelity caveat: this environment has no camera and no sample
+recordings. The record-walk (file header, NODE_ADDED_1_0_0_5 trailing
+fields, codec fourccs incl. ``NONE``, multi-node streams, property and
+seek-table records, inter-record resync) is validated against a
+hand-assembled byte-level fixture built independently of
+:class:`OniWriter` from the documented OpenNI 1.x structures
+(tests/test_oni.py:test_oni_independent_fixture); the 16z codec's
+nibble semantics remain validated by round-trip only. The parser
+RE-SYNCS on the record magic after any malformed record, so a
+field-layout mismatch in one record type degrades to skipping that
+record rather than aborting the conversion.
 """
 
 from __future__ import annotations

@@ -147,3 +147,89 @@ def test_oni2raw_cli(tmp_path):
         got = rd.read_next_depth_frame()
         np.testing.assert_array_equal(got, want)
     assert rd.read_next_depth_frame() is None
+
+
+def _independent_oni_bytes() -> bytes:
+    """A recording assembled byte-by-byte from the OpenNI 1.x on-disk
+    structures (XnRecordingHeader / RecordHeaderData / NodeAdded_1_0_0_5
+    / NewDataRecord, the layout oni2raw.cpp's xn::Player consumes) —
+    deliberately NOT via :class:`OniWriter`, and carrying record variants
+    the writer never emits:
+
+    * real XnVersion field packing in the file header,
+    * a NODE_ADDED_1_0_0_5 (0x0D) depth node with the trailing
+      frame-count / min- / max-timestamp fields,
+    * codec id ``NONE`` (XN_CODEC_UNCOMPRESSED's fourcc) instead of the
+      writer's ``UNC_``,
+    * an image node (type 3) whose NEW_DATA payload must be ignored,
+    * STRING_PROPERTY / GENERAL_PROPERTY / SEEK_TABLE records,
+    * inter-record garbage that forces a magic re-sync.
+
+    This pins the record-walk against a second, independent encoding of
+    the documented layout; the 16z codec nibble semantics remain
+    validated by round-trip only (no camera recordings exist in this
+    environment).
+    """
+    REC = struct.Struct("<IIIIIQ")
+    RECORD_MAGIC = 0x0052494E
+
+    def s(b: bytes) -> bytes:                    # XnString: len incl \0
+        return struct.pack("<I", len(b) + 1) + b + b"\0"
+
+    def rec(rtype, node, fields, payload=b"", undo=0):
+        return REC.pack(RECORD_MAGIC, rtype, node,
+                        REC.size + len(fields), len(payload), undo) \
+            + fields + payload
+
+    out = bytearray()
+    # XnRecordingHeader: magic, XnVersion{u8 major, u8 minor,
+    # u16 maintenance, u32 build}, u64 nGlobalMaxTimeStamp, u32 nMaxNodeID
+    out += b"NI10" + struct.pack("<BBHI", 1, 0, 0, 23)
+    out += struct.pack("<QI", 66666, 2)
+
+    # Image node 1 (ignored by the depth extractor).
+    out += rec(0x0D, 1, s(b"Image1") + struct.pack("<I", 3) + b"JPEG"
+               + struct.pack("<IQQ", 2, 0, 66666))
+    # Depth node 2, NODE_ADDED_1_0_0_5 with trailing fields.
+    out += rec(0x0D, 2, s(b"Depth1") + struct.pack("<I", 1) + b"NONE"
+               + struct.pack("<IQQ", 2, 0, 66666))
+    out += rec(0x03, 2, s(b"XRes") + struct.pack("<Q", 4))
+    out += rec(0x03, 2, s(b"YRes") + struct.pack("<Q", 3))
+    out += rec(0x03, 2, s(b"ZPD") + struct.pack("<Q", 120))
+    out += rec(0x05, 2, s(b"SupportedMapOutputModesCount") + s(b"1"))
+    out += rec(0x06, 2, s(b"S2RD") + struct.pack("<II", 8, 0)
+               + b"\0" * 8)                       # general property blob
+    out += rec(0x09, 1, b"")                      # image state ready
+    out += rec(0x09, 2, b"")                      # depth state ready
+    out += rec(0x08, 2, b"")                      # NODE_DATA_BEGIN
+
+    f0 = np.arange(12, dtype=np.uint16).reshape(3, 4) * 100
+    f1 = (f0 + 7).astype(np.uint16)
+    # Image NEW_DATA first — junk payload, must be skipped.
+    out += rec(0x0A, 1, struct.pack("<QI", 0, 1), b"\xAB" * 10)
+    out += rec(0x0A, 2, struct.pack("<QI", 0, 1), f0.tobytes())
+    out += b"\xDE\xAD\xBE\xEF" * 5                # garbage: forces resync
+    out += rec(0x0A, 2, struct.pack("<QI", 33333, 2), f1.tobytes())
+    # Seek table (type 0x0C) then END.
+    out += rec(0x0C, 0, b"", b"\0" * 32)
+    out += rec(0x0B, 0, b"")
+    return bytes(out)
+
+
+def test_oni_independent_fixture(tmp_path):
+    """Frame extraction from the hand-assembled OpenNI-layout recording
+    (no OniWriter involvement)."""
+    path = str(tmp_path / "cam.oni")
+    open(path, "wb").write(_independent_oni_bytes())
+    r = OniReader(path)
+    got = list(r.depth_frames())
+    assert len(got) == 2
+    f0 = np.arange(12, dtype=np.uint16).reshape(3, 4) * 100
+    np.testing.assert_array_equal(got[0], f0)
+    np.testing.assert_array_equal(got[1], f0 + 7)
+    node = r.depth_node
+    assert node is not None and node.resolution == (4, 3)
+    assert node.codec == b"NONE" and node.frames == 2
+    # The image node was seen but its data ignored.
+    assert r.nodes[1].node_type == 3 and r.nodes[1].frames == 0
+    r.close()
