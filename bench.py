@@ -22,6 +22,10 @@ import time
 import numpy as np
 
 BASELINE_FPS = 1.0 / 0.043152   # reference traj2 computation mean
+# Canonical endpoint gather rate (ns/elem) the normalized metric is
+# anchored to: XLA's measured serial-gather rate on the integrate
+# formulation on the r3 calibration day (PROFILE.md §3).
+GATHER_NS_CANON = 33.0
 
 
 def main():
@@ -191,6 +195,39 @@ def main():
     dt = time.monotonic() - t0
     gbps = 4 * 2 * x.nbytes / dt / 1e9
 
+    # Gather-rate calibration: the pipeline is GATHER-bound, not
+    # bandwidth-bound (PROFILE.md §2-§3) — every phase is priced by
+    # XLA's serial gather rate on this endpoint. Measure it in-session
+    # on the integrate-population formulation (2M lookups into a
+    # 240x320 f32 image, flat table + 3-D index array — the exact form
+    # ops/integrate.py uses), chained so each rep's indices depend on
+    # the previous result (defeats endpoint caching, CLAUDE.md).
+    Hc, Wc = 240, 320
+    rngc = np.random.default_rng(0)
+    tbl = jnp.asarray(rngc.random((Hc, Wc)).astype(np.float32)).reshape(-1)
+    kc = 128
+    gidx = jnp.asarray(
+        rngc.integers(0, Hc * Wc, kc ** 3).astype(np.int32)
+    ).reshape(kc, kc, kc)
+
+    @jax.jit
+    def gather_probe(idx, tbl):
+        def body(i, carry):
+            acc, ix = carry
+            g = tbl.at[ix].get(mode="promise_in_bounds")
+            d = (g.reshape(-1)[0] * 0).astype(jnp.int32)
+            return (acc + g, ix + d)
+        return jax.lax.fori_loop(
+            0, 4, body, (jnp.zeros(idx.shape, jnp.float32), idx))[0]
+
+    gather_probe(gidx, tbl).block_until_ready()
+    t0 = time.monotonic()
+    r = gather_probe(gidx, tbl)
+    r.block_until_ready()
+    _ = np.asarray(r[0, 0, 0])
+    dt = time.monotonic() - t0
+    gather_ns = dt / (4 * kc ** 3) * 1e9
+
     a = jnp.zeros((4096, 4096), jnp.bfloat16)
 
     @jax.jit
@@ -224,6 +261,16 @@ def main():
         "integrate_blocks": "x".join(map(str, kf.integrate_block_grid)),
         "device_eff_gbps": round(gbps, 1),
         "device_eff_bf16_tflops": round(tflops, 2),
+        "device_eff_gather_ns": round(gather_ns, 1),
+        # Session-drift correction, NOT a hardware projection: the
+        # pipeline is gather-bound (PROFILE.md §2-§3), so fps is scaled
+        # by this session's measured gather rate relative to the
+        # canonical calibration day's 33 ns/elem (PROFILE.md §3,
+        # profiles/r3_gather_probe.json). Makes rounds comparable when
+        # the shared endpoint's delivered rate drifts; no claim is made
+        # about real-v5e gather rates (unmeasured from here).
+        "vs_baseline_normalized": round(
+            fps * (gather_ns / GATHER_NS_CANON) / BASELINE_FPS, 3),
     }
     print(json.dumps(result))
 
