@@ -52,7 +52,8 @@ def _fence(x):
 def run(config: Configuration, fused: bool = False,
         max_frames: Optional[int] = None, quiet: bool = False,
         stats: bool = False, break_on_untracked: bool = False,
-        break_at_frame: Optional[int] = None) -> dict:
+        break_at_frame: Optional[int] = None,
+        keyframes: bool = False) -> dict:
     """Run the benchmark; returns summary statistics."""
     logstream = sys.stdout
     logfile = None
@@ -93,6 +94,21 @@ def run(config: Configuration, fused: bool = False,
     else:
         kf = KFusion(**kf_kwargs)
 
+    # Beyond-reference keyframe/pose-graph backend (--keyframes): the
+    # odometry frame loop is unchanged (PoseGraphKFusion wraps
+    # process_frame); keyframe promotion, loop-closure search and graph
+    # optimization run host-side between frames, and both the raw and
+    # pose-graph-corrected trajectories are exported at the end.
+    pgkf = None
+    if keyframes:
+        if config.mesh:
+            raise SystemExit("--keyframes is not supported with --mesh "
+                             "(the sharded tier runs pure odometry)")
+        from slambench_tpu.models.keyframes import (
+            KeyframeStore, PoseGraphKFusion,
+        )
+        pgkf = PoseGraphKFusion(kf, KeyframeStore())
+
     start_frame = 0
     if config.resume_file:
         from slambench_tpu.utils.checkpoint import load_state
@@ -112,7 +128,8 @@ def run(config: Configuration, fused: bool = False,
         power.start()
 
     timed_runner = None
-    if kernel_timings_enabled() and not config.mesh and not fused:
+    if kernel_timings_enabled() and not config.mesh and not fused \
+            and not keyframes:
         from slambench_tpu.frontend.timed import TimedRunner
         timed_runner = TimedRunner(kf)
 
@@ -139,7 +156,13 @@ def run(config: Configuration, fused: bool = False,
         )
 
         t1 = _fence(depth)
-        if config.mesh:
+        if pgkf is not None:
+            state = pgkf.process_frame(state, depth, frame,
+                                       config.tracking_rate,
+                                       config.integration_rate)
+            t5 = _fence(state)
+            timings = (t1, t1, t1, t1, t5)
+        elif config.mesh:
             # The sharded pipeline always runs fused (one shard_map step).
             state = kf.process_frame(state, depth, frame,
                                      config.tracking_rate,
@@ -225,6 +248,25 @@ def run(config: Configuration, fused: bool = False,
     if config.dump_volume_file:
         kf.dump_volume(state, config.dump_volume_file)
 
+    if pgkf is not None:
+        # Export raw-odometry and pose-graph-corrected trajectories in
+        # TUM format next to the log (eval with eval/trajectory.ate_rmse
+        # or external TUM tooling).
+        from slambench_tpu.eval.trajectory import write_tum
+        base = config.log_file or "benchmark"
+        raw_traj = np.stack(pgkf._trajectory) if pgkf._trajectory \
+            else np.zeros((0, 4, 4), np.float32)
+        corr_traj = pgkf.corrected_trajectory()
+        write_tum(base + ".kf_raw.tum", raw_traj)
+        write_tum(base + ".kf_corrected.tum", corr_traj)
+        n_loops = sum(1 for (i, j, _T, _w) in pgkf.graph.edges
+                      if abs(i - j) > 1)
+        print(f"keyframes: {len(pgkf.store.keyframes)}, graph edges: "
+              f"{len(pgkf.graph.edges)} ({n_loops} loop closures); "
+              f"trajectories: {base}.kf_raw.tum / {base}.kf_corrected.tum",
+              file=sys.stderr)
+        summary["posegraph"] = pgkf
+
     if logfile:
         logfile.close()
     if config.checkpoint_file:
@@ -269,6 +311,9 @@ def main(argv=None):
     break_untracked = "--break-on-untracked" in argv
     if break_untracked:
         argv.remove("--break-on-untracked")
+    keyframes = "--keyframes" in argv
+    if keyframes:
+        argv.remove("--keyframes")
     if "--debug-nans" in argv:
         # The functional-purity analogue of the reference's (absent)
         # sanitizers (SURVEY.md §5.2): fault on any NaN produced on
@@ -287,7 +332,8 @@ def main(argv=None):
         return 1
     try:
         run(config, fused=fused, stats=stats,
-            break_on_untracked=break_untracked, break_at_frame=break_at)
+            break_on_untracked=break_untracked, break_at_frame=break_at,
+            keyframes=keyframes)
     except Exception as exc:                   # noqa: BLE001
         hint = backend_select.explain_error(exc)
         if hint:

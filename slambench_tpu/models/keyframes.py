@@ -99,13 +99,20 @@ class PoseGraphKFusion:
         self._trajectory: List[np.ndarray] = []
         self._kf_of_frame: List[int] = []
 
+        # Snapshot maps are stored downsampled (KeyframeStore.downsample),
+        # so projective association onto the snapshot pixel grid uses the
+        # correspondingly scaled intrinsics (the pyramid-level convention,
+        # pipeline.py _tracking).
         camera = jnp.asarray(self.kf.camera, jnp.float32)
-        self._K = get_camera_matrix(camera)
+        self._K = get_camera_matrix(camera / float(self.store.downsample))
 
-        def align(src_v, src_n, dst_v, dst_n, init_rel):
+        def align(src_v, src_n, dst_v, dst_n, init_rel, view):
             """A few point-to-plane ICP iterations aligning snapshot src
-            into dst's frame; returns (relative pose, residual count)."""
-            view = self._K  # dst camera at identity (its own frame)
+            onto dst's map; returns (relative pose, residual count).
+            ``view`` must be ``K @ inv(dst.pose)``: the stored snapshots
+            are WORLD-frame raycast maps indexed by dst's pixel grid, so
+            projective association of a world point onto that grid goes
+            through dst's camera, not an identity camera."""
 
             def body(carry, _):
                 rel, _red = carry
@@ -140,16 +147,15 @@ class PoseGraphKFusion:
                                              weight=1.0)
             # Loop closures: verify candidates by snapshot ICP.
             for cand in self.store.loop_candidates(kf):
-                rel0 = jnp.asarray(
-                    np.linalg.inv(cand.pose) @ kf.pose, jnp.float32)
-                # Transform kf's world-frame snapshot into cand's frame
-                # convention: track() expects src in its own camera frame
-                # — stored maps are world-frame raycast maps, so measure
-                # the relative world correction directly.
+                # Stored maps are world-frame raycast maps, so the ICP
+                # measures the (small) relative world correction aligning
+                # kf's snapshot onto cand's, starting at identity.
                 rel, red = self._align(
                     jnp.asarray(kf.vertex), jnp.asarray(kf.normal),
                     jnp.asarray(cand.vertex), jnp.asarray(cand.normal),
-                    jnp.eye(4))
+                    jnp.eye(4),
+                    mat4mul(self._K, rigid_inverse(
+                        jnp.asarray(cand.pose, jnp.float32))))
                 count = float(red[28])
                 npix = kf.vertex.shape[1] * kf.vertex.shape[2]
                 if count / npix > 0.3:

@@ -48,6 +48,35 @@ def test_posegraph_kfusion_end_to_end(dataset):
                                    atol=1e-4)
 
 
+def test_frontend_keyframes_flag(dataset, tmp_path):
+    """--keyframes CLI route: pose-graph backend drives the frame loop
+    and exports raw + corrected TUM trajectories next to the log."""
+    from slambench_tpu.config import Configuration
+    from slambench_tpu.eval.trajectory import read_tum
+    from slambench_tpu.frontend import benchmark as fb
+
+    man = dataset
+    cfg = Configuration()
+    cfg.input_file = man["raw"]
+    cfg.log_file = str(tmp_path / "kf.log")
+    cfg.volume_resolution = (32, 32, 32)
+    cfg.volume_size = man["dim"]
+    cfg.initial_pos_factor = man["init_pos_factor"]
+    cfg.camera = man["camera"]
+    cfg.camera_overrided = True
+    cfg.pyramid = (4, 3, 3)
+    summary = fb.run(cfg, max_frames=12, quiet=True, keyframes=True)
+    assert summary["frames"] == 12
+    pg = summary["posegraph"]
+    assert len(pg.store.keyframes) >= 1
+    raw = read_tum(cfg.log_file + ".kf_raw.tum")
+    corr = read_tum(cfg.log_file + ".kf_corrected.tum")
+    assert raw.shape == (12, 3) and corr.shape == (12, 3)
+    # Corrections are rigid adjustments of a working odometry: the two
+    # exports stay within centimetres of each other on a short clip.
+    assert np.abs(raw - corr).max() < 0.2
+
+
 def test_frontend_run_api(dataset, tmp_path):
     from slambench_tpu.config import Configuration
     from slambench_tpu.frontend import benchmark as fb
