@@ -91,8 +91,9 @@ class ShardedKFusion(KFusion):
             track_result=P(), reduction=P(),
             tracked=P(), integrated=P(),
         )
+        self._stepper = self._make_sharded_step()
         self._sharded_step = jax.jit(
-            self._make_sharded_step(), donate_argnums=0,
+            self._stepper, donate_argnums=0,
             static_argnames=("tracking_on", "integrate_frame",
                              "force_integrate", "raycast_on"))
 
@@ -574,6 +575,27 @@ class ShardedKFusion(KFusion):
             track_result=track_result, tracked=tracked)
 
     # --------------------------- frontend ------------------------------ #
+
+    def _compute_frames_scan(self, state: KFusionState,
+                             depths: jax.Array
+                             ) -> Tuple[KFusionState, jax.Array]:
+        """Sharded dispatch batching: ``lax.scan`` whose body is the
+        shard_map'd steady-state step (same gate pattern as the
+        single-chip scan, pipeline.py:_compute_frames_scan). Removes the
+        per-frame host dispatch round-trip from the sharded tier — the
+        overhead class measured at ~40% of frame time on the tunneled
+        endpoint (BENCHMARKS.md) — while every per-frame collective
+        (halo ppermute, ICP psum, raycast pmin/psum) stays inside the
+        one compiled program. The parent class jits this with the state
+        donated, so the sharded volume updates in place across the whole
+        chunk."""
+        def body(s, depth):
+            s = self._stepper(s, depth, tracking_on=True,
+                              integrate_frame=True,
+                              force_integrate=False, raycast_on=True)
+            return s, s.pose[:3, 3]
+
+        return jax.lax.scan(body, state, depths)
 
     def process_frame(self, state: KFusionState, input_depth, frame: int,
                       tracking_rate: int = 1, integration_rate: int = 2

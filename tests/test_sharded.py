@@ -194,3 +194,73 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_sharded_1024_capability():
+    """1024^3 capability at the reference GUI's menu ceiling
+    (reference: qt/SlamBenchQt.cpp:353-356): 8-slab sharded volume
+    (2 GiB int16 + 1 GiB int8 weights), init + bootstrap integrate +
+    raycast-frame step on the CPU mesh. Functional gate only — the
+    single-chip timing row lives in BENCHMARKS.md. Slow-marked (~3 min
+    on CPU: one frame streams 1.07G voxel updates)."""
+    kf = ShardedKFusion((64, 48), (1024, 1024, 1024), (4.8,) * 3,
+                        (1.6, 2.4, 1.2), (4, 3, 3),
+                        (48.0, 48.0, 32.0, 24.0), mesh=make_mesh(8))
+    state = kf.init_state()
+    assert state.tsdf.shape == (1024, 1024, 1024)
+    # The volume really is z-slab sharded over the 8 devices.
+    assert len(state.tsdf.sharding.device_set) == 8
+    d = jnp.asarray(np.full((48, 64), 2000, np.uint16))
+    state = kf.process_frame(state, d, 0)       # bootstrap integrate
+    assert bool(state.integrated)
+    state = kf.process_frame(state, d, 3)       # track+integrate+raycast
+    jax.block_until_ready(state.ref_vertex)
+    # The 2 m wall must appear in the raycast maps (surface hits with
+    # valid normals somewhere in the image).
+    n0 = np.asarray(state.ref_normal[0])
+    assert (n0 != -2).sum() > 0
+    # Integration wrote a zero-crossing band into the sharded volume.
+    t = np.asarray(state.tsdf[:, ::64, ::64]).astype(np.int32)
+    assert t.min() < 0 < t.max()
+
+
+def test_sharded_scan_matches_per_frame(dataset):
+    """Sharded dispatch batching (compute_frames_scan with the shard_map
+    step inside lax.scan) vs per-frame sharded dispatch: same ulp-class
+    contract as the single-chip scan parity test
+    (test_pipeline_e2e.test_scan_batched_frames_match_per_frame)."""
+    man = dataset
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
+            man["camera"])
+    rd = RawDepthReader(man["raw"])
+    frames = [jnp.asarray(np.ascontiguousarray(rd.read_next_depth_frame()))
+              for _ in range(12)]
+
+    def boot(kf):
+        s = kf.init_state()
+        for f in range(5):
+            s = kf.process_frame(s, frames[f], f,
+                                 integration_rate=1)
+        return s
+
+    kf1 = ShardedKFusion(*args, mesh=make_mesh(4))
+    s1 = boot(kf1)
+    poses1 = []
+    for f in range(5, 12):
+        s1 = kf1.process_frame(s1, frames[f], f,
+                               integration_rate=1)
+        poses1.append(np.asarray(s1.pose[:3, 3]))
+
+    kf2 = ShardedKFusion(*args, mesh=make_mesh(4))
+    s2 = boot(kf2)
+    s2, traj = kf2.compute_frames_scan(s2, jnp.stack(frames[5:12]))
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(poses1),
+                               atol=1e-4)
+    d = np.abs(np.asarray(s2.tsdf, np.int32) - np.asarray(s1.tsdf, np.int32))
+    assert (d > 0).mean() < 0.02, f"{(d > 0).mean():.4f} voxels differ"
+    assert (d > 2).mean() < 1e-4, f"{(d > 2).sum()} voxels beyond 2 LSB"
+    # The scan output volume keeps its z-slab sharding (no silent
+    # re-replication inside the scan).
+    assert len(s2.tsdf.sharding.device_set) == 4
