@@ -52,6 +52,13 @@ def main():
                          "tie at 5.15 f/s — per-chunk dispatch is "
                          "already amortized at 8 — so 8 stays the "
                          "default and keeps the cached compile shape)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the SHARDED tier over an N-device mesh "
+                         "(z-slab TSDF + halo ppermute + psum ICP), "
+                         "scan-chunked like the single-chip path; needs "
+                         "N visible devices (use JAX_PLATFORM_NAME=cpu "
+                         "XLA_FLAGS=--xla_force_host_platform_device_"
+                         "count=N for the virtual mesh). 0 = single-chip")
     ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
     args = ap.parse_args()
 
@@ -96,9 +103,22 @@ def main():
     W, H = 640 // args.ratio, 480 // args.ratio
     camera = tuple(c / args.ratio for c in (481.2, 480.0, 320.0, 240.0))
     init = (0.34 * 4.8, 0.5 * 4.8, 0.24 * 4.8)
-    kf = KFusion((W, H), (args.volume,) * 3, (4.8, 4.8, 4.8), init,
-                 (10, 5, 4), camera, mu=0.1, backend=args.backend,
+    kf_args = ((W, H), (args.volume,) * 3, (4.8, 4.8, 4.8), init,
+               (10, 5, 4), camera)
+    kf_kw = dict(mu=0.1, backend=args.backend,
                  motion_model=args.motion_model)
+    if args.mesh:
+        from slambench_tpu.parallel.mesh import make_mesh
+        from slambench_tpu.parallel.step import ShardedKFusion
+        kf = ShardedKFusion(*kf_args, **kf_kw, mesh=make_mesh(args.mesh))
+
+        def step(s, d, g):
+            return kf._sharded_step(s, d, **g)
+    else:
+        kf = KFusion(*kf_args, **kf_kw)
+
+        def step(s, d, g):
+            return kf.compute_frame(s, d, **g)
     state = kf.init_state()
     rd = RawDepthReader(raw)
 
@@ -128,7 +148,7 @@ def main():
     chunk = args.scan_chunk if args.scan_chunk > 0 else max(n_frames - 5, 1)
     t_compile = time.monotonic()
     for frame in range(min(5, n_frames)):
-        state = kf.compute_frame(state, frames[frame], **gates(frame))
+        state = step(state, frames[frame], gates(frame))
     # Pre-stack the steady-state chunks OUTSIDE the timed region (the
     # stack is a device-side copy + a host dispatch; in the loop it
     # would serialize a tunnel round-trip per chunk).
@@ -163,9 +183,9 @@ def main():
         # Full chunks only (a ragged tail chunk would compile a
         # second scan length inside the timed region).
         state, tr = kf.compute_frames_scan(state, ch)
-        traj.append(tr)
+        traj.append(tr["pos"])
     for frame in range(n_tail_start, n_frames):
-        state = kf.compute_frame(state, frames[frame], **gates(frame))
+        state = step(state, frames[frame], gates(frame))
         traj.append(state.pose[None, :3, 3])
     jax.block_until_ready(state)
     _ = np.asarray(state.pose[0, 0])   # value-fetch fence
@@ -258,6 +278,7 @@ def main():
         "backend_tier": kf.backend,
         "motion_model": kf.motion_model,
         "scan_chunk": chunk,
+        "mesh": args.mesh,
         "integrate_blocks": "x".join(map(str, kf.integrate_block_grid)),
         "device_eff_gbps": round(gbps, 1),
         "device_eff_bf16_tflops": round(tflops, 2),

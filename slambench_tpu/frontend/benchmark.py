@@ -53,7 +53,7 @@ def run(config: Configuration, fused: bool = False,
         max_frames: Optional[int] = None, quiet: bool = False,
         stats: bool = False, break_on_untracked: bool = False,
         break_at_frame: Optional[int] = None,
-        keyframes: bool = False) -> dict:
+        keyframes: bool = False, scan_chunk: int = 0) -> dict:
     """Run the benchmark; returns summary statistics."""
     logstream = sys.stdout
     logfile = None
@@ -135,6 +135,18 @@ def run(config: Configuration, fused: bool = False,
 
     print(HEADER, file=logstream)
 
+    # Dispatch batching (--scan-chunk N): steady-state frames run as one
+    # lax.scan dispatch of N fused steps (single-chip or sharded — the
+    # TPU-native fast path; removes the per-frame host round-trip the
+    # tunnel prices at ~40%, BENCHMARKS.md). Only for the canonical
+    # -r 1 schedule (the scan body bakes the steady-state gates) and the
+    # fused/mesh modes; per-phase columns then report 0 and
+    # `computation` is the per-frame share of the chunk dispatch.
+    scan_ok = (scan_chunk > 1 and config.tracking_rate == 1
+               and config.integration_rate == 1
+               and (fused or config.mesh)
+               and timed_runner is None and pgkf is None)
+
     frame = start_frame
     summary = {"frames": 0, "computation": [], "total": []}
     t0 = time.monotonic()
@@ -143,6 +155,62 @@ def run(config: Configuration, fused: bool = False,
         if depth is None or (max_frames is not None and frame >= max_frames):
             break
         depth = jnp.asarray(np.ascontiguousarray(depth))
+
+        if scan_ok and frame > 3:
+            # Read ahead up to scan_chunk steady-state frames and run
+            # them as one scan dispatch.
+            depths = [depth]
+            while len(depths) < scan_chunk and \
+                    (max_frames is None
+                     or frame + len(depths) < max_frames):
+                d2 = reader.read_next_depth_frame()
+                if d2 is None:
+                    break
+                depths.append(jnp.asarray(np.ascontiguousarray(d2)))
+            pos_before = kf.get_position(state)
+            t1 = _fence(depths[-1])
+            state, outs = kf.compute_frames_scan(state, jnp.stack(depths))
+            t5 = _fence(state)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            # Render once at the chunk end (the diagnostic images show
+            # the final state; per-row rendering shares the cost).
+            _ = kf.render_depth_image(state)
+            _ = kf.render_track_image(state)
+            if any((frame + i) % config.rendering_rate == 0
+                   for i in range(len(depths))):
+                _ = kf.render_volume_image(state)
+            t6 = _fence(_)
+            n_b = len(depths)
+            per = (t5 - t1) / n_b
+            per_r = (t6 - t5) / n_b
+            init_arr = np.asarray(kf.init_pose, np.float32)
+            brk = None
+            for i in range(n_b):
+                fi = frame + i
+                pos = pos_before if i == 0 \
+                    else outs["pos"][i - 1] - init_arr
+                tracked = int(outs["tracked"][i])
+                integrated = int(outs["integrated"][i])
+                print("%d\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f"
+                      "\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%d        \t%d"
+                      % (fi, (t1 - t0) if i == 0 else 0.0,
+                         0.0, 0.0, 0.0, per, per_r, per,
+                         per + per_r + ((t1 - t0) if i == 0 else 0.0),
+                         pos[0], pos[1], pos[2], tracked, integrated),
+                      file=logstream)
+                summary["computation"].append(per)
+                summary["total"].append(per + per_r)
+                summary["frames"] += 1
+                if break_on_untracked and not tracked:
+                    brk = f"untracked at frame {fi}"
+                if break_at_frame is not None and fi >= break_at_frame:
+                    brk = brk or f"at frame {fi}"
+            frame += n_b
+            t0 = time.monotonic()
+            if brk:
+                print(f"BREAK: {brk}", file=sys.stderr)
+                break
+            continue
 
         # Pose logged at frame start = result of the previous frame
         # (reference: benchmark.cpp:127-131).
@@ -325,6 +393,11 @@ def main(argv=None):
         i = argv.index("--break-at-frame")
         break_at = int(argv[i + 1])
         del argv[i:i + 2]
+    scan_chunk = 0
+    if "--scan-chunk" in argv:
+        i = argv.index("--scan-chunk")
+        scan_chunk = int(argv[i + 1])
+        del argv[i:i + 2]
     config = parse_args(argv)
     if not config.input_file:
         print("No input found.", file=sys.stderr)
@@ -333,7 +406,7 @@ def main(argv=None):
     try:
         run(config, fused=fused, stats=stats,
             break_on_untracked=break_untracked, break_at_frame=break_at,
-            keyframes=keyframes)
+            keyframes=keyframes, scan_chunk=scan_chunk)
     except Exception as exc:                   # noqa: BLE001
         hint = backend_select.explain_error(exc)
         if hint:

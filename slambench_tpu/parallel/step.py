@@ -578,7 +578,7 @@ class ShardedKFusion(KFusion):
 
     def _compute_frames_scan(self, state: KFusionState,
                              depths: jax.Array
-                             ) -> Tuple[KFusionState, jax.Array]:
+                             ) -> Tuple[KFusionState, dict]:
         """Sharded dispatch batching: ``lax.scan`` whose body is the
         shard_map'd steady-state step (same gate pattern as the
         single-chip scan, pipeline.py:_compute_frames_scan). Removes the
@@ -593,7 +593,8 @@ class ShardedKFusion(KFusion):
             s = self._stepper(s, depth, tracking_on=True,
                               integrate_frame=True,
                               force_integrate=False, raycast_on=True)
-            return s, s.pose[:3, 3]
+            return s, {"pos": s.pose[:3, 3], "tracked": s.tracked,
+                       "integrated": s.integrated}
 
         return jax.lax.scan(body, state, depths)
 

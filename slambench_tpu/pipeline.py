@@ -404,10 +404,11 @@ class KFusion:
 
     def _compute_frames_scan(self, state: KFusionState,
                              depths: jax.Array
-                             ) -> Tuple[KFusionState, jax.Array]:
+                             ) -> Tuple[KFusionState, dict]:
         """``lax.scan`` of the fused steady-state frame over a stacked
-        depth batch ``[N, H, W]``; returns (state, per-frame pose
-        positions [N, 3]).
+        depth batch ``[N, H, W]``; returns (state, per-frame outputs:
+        ``{"pos": [N, 3], "tracked": [N], "integrated": [N]}`` — the
+        columns the 14-column log needs per frame).
 
         Dispatch-granularity batching, not a semantics change: each
         frame runs the same fused step as :meth:`compute_frame` with the
@@ -427,7 +428,8 @@ class KFusion:
                                     integrate_frame=True,
                                     force_integrate=False,
                                     raycast_on=True)
-            return s, s.pose[:3, 3]
+            return s, {"pos": s.pose[:3, 3], "tracked": s.tracked,
+                       "integrated": s.integrated}
 
         return jax.lax.scan(body, state, depths)
 

@@ -48,7 +48,8 @@ def _coll_time_us(nbytes: float, n: int, kind: str,
 
 def project_scaling(profile: dict, image=(320, 240), volume=256,
                     halo=10, ici_gbps=45.0, ici_lat_us=1.0,
-                    icp_iters=19, ns=(1, 2, 4, 8, 16)):
+                    icp_iters=19, ns=(1, 2, 4, 8, 16),
+                    fused_ms: float = 0.0):
     """Rows of {n, t_frame_ms, fps, efficiency, comm_ms} from a
     profile_frame JSON dict (ms per op on one chip)."""
     W, H = image
@@ -76,6 +77,23 @@ def project_scaling(profile: dict, image=(320, 240), volume=256,
     # image all_gather); the mm2meters strided cast stays replicated.
     t_bilateral = ms("bilateral_filter")
     t_mm = ms("mm2meters")
+
+    # --fused-frame-ms: anchor the projection to the MEASURED scan-
+    # batched fused per-frame cost instead of the sum of standalone
+    # per-op dispatches. Standalone measurements each carry the tunnel's
+    # per-dispatch overhead (PROFILE.md §8 measured the in-frame
+    # integrate 2.8x cheaper than its standalone number); the production
+    # sharded path is dispatch-batched (compute_frames_scan over the
+    # shard_map step), so the fused frame is the honest per-chip cost.
+    # Phase RATIOS come from the standalone profile; the total is
+    # rescaled to the fused measurement.
+    if fused_ms:
+        s = fused_ms / (t_mm + t_bilateral + t_track + t_int + t_ray)
+        t_mm *= s
+        t_bilateral *= s
+        t_track *= s
+        t_int *= s
+        t_ray *= s
 
     rows = []
     t1 = None
@@ -121,6 +139,10 @@ def main(argv=None) -> int:
                     help="per-link one-way ICI bandwidth (v5e: 45 GB/s)")
     ap.add_argument("--ici-lat-us", type=float, default=1.0)
     ap.add_argument("--icp-iters", type=int, default=19)
+    ap.add_argument("--fused-frame-ms", type=float, default=0.0,
+                    help="measured scan-batched fused per-frame ms; "
+                         "rescales the standalone per-op profile to "
+                         "this total (dispatch-batched anchor)")
     ap.add_argument("--markdown", action="store_true")
     args = ap.parse_args(argv)
 
@@ -130,7 +152,8 @@ def main(argv=None) -> int:
     rows = project_scaling(profile, image=(W, H), volume=args.volume,
                            halo=args.halo, ici_gbps=args.ici_gbps,
                            ici_lat_us=args.ici_lat_us,
-                           icp_iters=args.icp_iters)
+                           icp_iters=args.icp_iters,
+                           fused_ms=args.fused_frame_ms)
     if args.markdown:
         print("| chips | frame ms | fps | comm ms | comm MB/frame |"
               " efficiency |")

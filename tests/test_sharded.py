@@ -255,9 +255,9 @@ def test_sharded_scan_matches_per_frame(dataset):
 
     kf2 = ShardedKFusion(*args, mesh=make_mesh(4))
     s2 = boot(kf2)
-    s2, traj = kf2.compute_frames_scan(s2, jnp.stack(frames[5:12]))
-    np.testing.assert_allclose(np.asarray(traj), np.asarray(poses1),
-                               atol=1e-4)
+    s2, outs = kf2.compute_frames_scan(s2, jnp.stack(frames[5:12]))
+    np.testing.assert_allclose(np.asarray(outs["pos"]),
+                               np.asarray(poses1), atol=1e-4)
     d = np.abs(np.asarray(s2.tsdf, np.int32) - np.asarray(s1.tsdf, np.int32))
     assert (d > 0).mean() < 0.02, f"{(d > 0).mean():.4f} voxels differ"
     assert (d > 2).mean() < 1e-4, f"{(d > 2).sum()} voxels beyond 2 LSB"
