@@ -174,6 +174,127 @@ def probe_pallas_bilateral(out: dict, reps: int = 20) -> None:
           file=sys.stderr, flush=True)
 
 
+def probe_mosaic_wide_gather(out: dict, reps: int = 4) -> None:
+    """Round-4 question (VERDICT r3 next-1): can Mosaic express the
+    integrate's ARBITRARY 2-D depth gather after all?
+
+    Two candidate encodings, measured against the same-session XLA flat
+    gather:
+
+    * ``wide_lane``: lane-gather on a sublane-replicated flat table —
+      ``take_along_axis(broadcast(depth.ravel(), [8, H*W]), idx[8, L],
+      axis=1)``. Each sublane row IS the whole 300 KB depth image, so a
+      per-lane index reaches any pixel; the 8x replication (2.4 MB)
+      fits VMEM comfortably.
+    * ``adv2d``: 2-D advanced indexing ``t[vi, ui]`` (the form the
+      "Only 2D gather is supported" Mosaic error hints at).
+
+    Chained in-jit reps (index depends on prior result) + value fetch,
+    per CLAUDE.md timing methodology.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = 240, 320
+    HW = H * W
+    depth = jnp.asarray(np.random.rand(H, W).astype(np.float32))
+    N = 2 * 1024 * 1024                 # integrate-population lookups
+    L = 2048                            # lanes per grid step (x8 sublanes)
+    n_steps = N // (8 * L)
+    flat_idx = jnp.asarray(np.random.randint(
+        0, HW, (n_steps * 8, L)).astype(np.int32))
+
+    def wide_kernel(t_ref, i_ref, o_ref):
+        t8 = jnp.broadcast_to(t_ref[:].reshape(1, HW), (8, HW))
+        o_ref[:] = jnp.take_along_axis(t8, i_ref[:], axis=1)
+
+    @jax.jit
+    def run_wide(idx, t):
+        def body(i, acc):
+            j = idx + (acc[0, 0] * 0).astype(jnp.int32)
+            g = pl.pallas_call(
+                wide_kernel,
+                out_shape=jax.ShapeDtypeStruct(idx.shape, jnp.float32),
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((H, W), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, L), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, L), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )(t, j)
+            return acc + g
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros(idx.shape, jnp.float32))
+
+    def adv_kernel(t_ref, vi_ref, ui_ref, o_ref):
+        o_ref[:] = t_ref[:][vi_ref[:], ui_ref[:]]
+
+    vi = jnp.asarray(np.random.randint(0, H, (n_steps * 8, L))
+                     .astype(np.int32))
+    ui = jnp.asarray(np.random.randint(0, W, (n_steps * 8, L))
+                     .astype(np.int32))
+
+    @jax.jit
+    def run_adv(vi, ui, t):
+        def body(i, acc):
+            d = (acc[0, 0] * 0).astype(jnp.int32)
+            g = pl.pallas_call(
+                adv_kernel,
+                out_shape=jax.ShapeDtypeStruct(vi.shape, jnp.float32),
+                grid=(n_steps,),
+                in_specs=[
+                    pl.BlockSpec((H, W), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, L), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8, L), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((8, L), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )(t, vi + d, ui + d)
+            return acc + g
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros(vi.shape, jnp.float32))
+
+    for name, fn, args_ in (
+            ("mosaic_wide_lane_gather", run_wide, (flat_idx, depth)),
+            ("mosaic_adv2d_gather", run_adv, (vi, ui, depth))):
+        try:
+            dt = _timeit(fn, *args_, reps=reps)
+            out[name] = {"ok": True,
+                         "ns_per_elem": round(dt / N * 1e9, 2)}
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"ok": False,
+                         "err": str(e).split("\n")[0][:200]}
+        print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
+
+    # Same-session XLA reference point (flat table + [rows, 128] idx).
+    xidx = jnp.asarray(np.random.randint(
+        0, HW, (N // 128, 128)).astype(np.int32))
+    flat = depth.reshape(-1)
+
+    @jax.jit
+    def run_xla(idx, t):
+        def body(i, acc):
+            j = idx + (acc[0, 0] * 0).astype(jnp.int32)
+            return acc + t.at[j].get(mode="promise_in_bounds")
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros(idx.shape, jnp.float32))
+
+    dt = _timeit(run_xla, xidx, flat, reps=reps)
+    out["xla_flat_gather_same_session"] = {
+        "ns_per_elem": round(dt / N * 1e9, 2)}
+    print(f"xla_flat_gather_same_session: "
+          f"{out['xla_flat_gather_same_session']}", file=sys.stderr,
+          flush=True)
+
+
 def probe_gather_modes(out: dict, reps: int = 4) -> None:
     """XLA gather ns/element: clip vs promise_in_bounds, small vs
     volume-sized tables, 77k vs 16M counts."""
@@ -219,6 +340,7 @@ def main(argv=None) -> int:
     out = {"backend": jax.default_backend()}
     if jax.default_backend() == "tpu":
         probe_mosaic_gathers(out)
+        probe_mosaic_wide_gather(out)
     else:
         print("(not on TPU: Mosaic capability probe skipped)",
               file=sys.stderr)
