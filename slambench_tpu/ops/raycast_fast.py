@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -139,8 +140,8 @@ def raycast_fast(tsdf: jax.Array,
     if t_init is not None:
         tnear = jnp.clip(jnp.maximum(tnear, t_init), None, tfar)
 
-    voxel = jnp.array([dim[0] / sx, dim[1] / sy, dim[2] / sz],
-                      jnp.float32).reshape(3, 1, 1)
+    voxel_np = np.array([dim[0] / sx, dim[1] / sy, dim[2] / sz],
+                        np.float32)
     flat_vol = tsdf.reshape(-1)
     mzb, myb, mxb = mip.shape
     # Chebyshev skip table: derived from the mip on the fly (tiny — 32^3
@@ -148,65 +149,79 @@ def raycast_fast(tsdf: jax.Array,
     skip = make_skip_mip(mip)
     flat_skip = skip.reshape(-1)
 
-    limit = jnp.array([sx - 1, sy - 1, sz - 1],
-                      jnp.int32).reshape(3, 1, 1)
+    # Concatenated (volume ++ skip) table so each march substep resolves
+    # BOTH per-t lookups with one stacked gather (see mip_march).
+    nvox = sx * sy * sz
+    flat_cat = jnp.concatenate([flat_vol, flat_skip.astype(jnp.int16)])
 
-    def voxel_idx(pos):
-        """Nearest (containing) voxel index per axis, clamped."""
-        return jnp.clip((pos / voxel).astype(jnp.int32), 0, limit)
+    def make_samplers(dirs):
+        """March samplers bound to a ray-direction array [3, ...] (the
+        full grid, or a compacted straggler subset — the per-ray math is
+        identical either way, which keeps two-phase results
+        bit-identical to the single-phase march)."""
+        nd = dirs.ndim - 1
+        voxel = jnp.asarray(voxel_np).reshape(3, *([1] * nd))
+        limit = jnp.array([sx - 1, sy - 1, sz - 1],
+                          jnp.int32).reshape(3, *([1] * nd))
 
-    def nearest(pos):
-        idx = voxel_idx(pos)
-        flat = (idx[2] * sy + idx[1]) * sx + idx[0]
-        return take_flat(flat_vol, flat).astype(jnp.float32) \
-            * params.TSDF_INV_SCALE
+        def voxel_idx(pos):
+            return jnp.clip((pos / voxel).astype(jnp.int32), 0, limit)
 
-    def skip_at(pos):
-        idx = voxel_idx(pos)
-        b = idx // m
-        bx = jnp.clip(b[0], 0, mxb - 1)
-        by = jnp.clip(b[1], 0, myb - 1)
-        bz = jnp.clip(b[2], 0, mzb - 1)
-        return take_flat(flat_skip, (bz * myb + by) * mxb + bx).astype(
-            jnp.int32)
+        def sample_t(t):
+            idx = voxel_idx(o + dirs * t[None])
+            vflat = (idx[2] * sy + idx[1]) * sx + idx[0]
+            b = idx // m
+            bx = jnp.clip(b[0], 0, mxb - 1)
+            by = jnp.clip(b[1], 0, myb - 1)
+            bz = jnp.clip(b[2], 0, mzb - 1)
+            sflat = nvox + (bz * myb + by) * mxb + bx
+            both = take_flat(flat_cat, jnp.stack([vflat, sflat]))
+            return (both[0].astype(jnp.float32) * params.TSDF_INV_SCALE,
+                    both[1].astype(jnp.int32))
 
-    def ball_exit_t(pos, t, d):
-        """Ray parameter at which the (2(d-1)+1)^3-cell guaranteed-empty
-        ball centred on the current cell is exited (d >= 1)."""
-        idx = voxel_idx(pos)
-        b = (idx // m).astype(jnp.float32)
-        r = (d - 1).astype(jnp.float32)
-        cell_lo = (b - r) * (m * voxel)
-        cell_hi = (b + r + 1.0) * (m * voxel)
-        dd = jnp.where(direction == 0, 1e-20, direction)
-        t_axis = jnp.where(dd > 0, (cell_hi - pos) / dd,
-                           (cell_lo - pos) / dd)
-        dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
-        return t + jnp.maximum(dt, 0.0) + 0.25 * step
+        def dist_exit_t(t, d):
+            pos = o + dirs * t[None]
+            idx = voxel_idx(pos)
+            b = (idx // m).astype(jnp.float32)
+            r = (d - 1).astype(jnp.float32)
+            cell_lo = (b - r) * (m * voxel)
+            cell_hi = (b + r + 1.0) * (m * voxel)
+            dd = jnp.where(dirs == 0, 1e-20, dirs)
+            t_axis = jnp.where(dd > 0, (cell_hi - pos) / dd,
+                               (cell_lo - pos) / dd)
+            dt = jnp.minimum(jnp.minimum(t_axis[0], t_axis[1]), t_axis[2])
+            return t + jnp.maximum(dt, 0.0) + 0.25 * step
 
-    def nearest_t(t):
-        return nearest(o + direction * t[None])
+        return sample_t, dist_exit_t
 
-    def dist_t(t):
-        return skip_at(o + direction * t[None])
-
-    def dist_exit_t(t, d):
-        return ball_exit_t(o + direction * t[None], t, d)
+    sample_t, dist_exit_t = make_samplers(direction)
 
     def tri_t(t):
         return interp(tsdf, dim, o + direction * t[None])
+
+    def tri_batch(ts):
+        """Trilinear field at a [K, H, W] batch of per-ray t values —
+        one interp call = one stacked gather for all K scan points."""
+        pos = o.reshape(3, 1, 1, 1) + direction[:, None] * ts[None]
+        return interp(tsdf, dim, pos)
 
     diag = (dim[0] ** 2 + dim[1] ** 2 + dim[2] ** 2) ** 0.5
     max_iters = int(diag / (m * min(dim) / max(sx, sy, sz))) \
         + int(3.0 * (0.8 / 0.75) * large_step / step) \
         + int((far_plane - near_plane) / large_step) + 16
 
-    out = mip_march(nearest_t, dist_t, dist_exit_t, tnear, tfar,
-                    step, large_step, max_iters)
+    if MARCH_COMPACT and MARCH_PHASE1 < max_iters:
+        out = march_two_phase(make_samplers, direction,
+                              sample_t, dist_exit_t,
+                              tnear, tfar, step, large_step, max_iters)
+    else:
+        out = mip_march(sample_t, dist_exit_t, tnear, tfar,
+                        step, large_step, max_iters)
     t_hit = rescan_refine(tri_t, out, step,
                           nscan=RAYCAST_NSCAN if nscan is None else nscan,
                           fp_iters=(RAYCAST_REFINE_ITERS
-                                    if fp_iters is None else fp_iters))
+                                    if fp_iters is None else fp_iters),
+                          tri_batch=tri_batch)
 
     hit_pos = o + direction * t_hit[None]
     hit_pos = jnp.where(t_hit[None] > 0, hit_pos, 0.0)
@@ -220,13 +235,99 @@ def raycast_fast(tsdf: jax.Array,
 # Env-overridable for tuning sweeps (OCLWrapper work-group analogue).
 MARCH_UNROLL = max(1, int(os.environ.get("SLAMBENCH_MARCH_UNROLL", "4")))
 
+# Two-phase straggler compaction (round 4). The march is LOCKSTEP: every
+# substep gathers for ALL rays, so its cost is set by the LONGEST ray —
+# measured on the bench scene the per-ray substep count is mean 11.7 /
+# p99 24 / max 54 (tools/march_census.py), i.e. the last ~1% of rays
+# (wall-grazing paths crawling through crossing-bearing cells at the
+# reference two-speed schedule) DOUBLE the march cost. Phase 1 runs
+# MARCH_PHASE1 substeps full-width; the unfinished rays are then
+# compacted into a npix/MARCH_SLOT_FRAC-slot array and finish there at
+# 1/SLOT_FRAC the per-substep cost. Per-ray math is identical
+# (elementwise ops on gathered state), so results are bit-identical to
+# the single-phase march; if stragglers overflow the slots (pathological
+# scene), a full-width fallback branch preserves exactness.
+MARCH_COMPACT = os.environ.get("SLAMBENCH_MARCH_COMPACT", "1") == "1"
+MARCH_PHASE1 = int(os.environ.get("SLAMBENCH_MARCH_PHASE1", "24"))
+MARCH_SLOT_FRAC = max(1, int(os.environ.get("SLAMBENCH_MARCH_SLOTS", "8")))
 
-def mip_march(nearest_t, dist_t, dist_exit_t, tnear, tfar,
+
+def march_two_phase(make_samplers, direction,
+                    sample_t, dist_exit_t,
+                    tnear, tfar, step: float, large_step: float,
+                    max_iters: int) -> dict:
+    """Lockstep march in two phases: full-width for MARCH_PHASE1
+    substeps, then the straggler rays compacted into a small fixed-size
+    set (cumsum compaction; gather state in, scatter results out).
+    Returns a march-state dict with the fields rescan_refine consumes
+    (t, t_prev, hit)."""
+    npix = int(np.prod(tnear.shape))
+    slots = max(128, -(-npix // MARCH_SLOT_FRAC) // 128 * 128)
+    fields = ("t", "t_prev", "f_prev", "stepsize", "done", "hit")
+
+    out = mip_march(sample_t, dist_exit_t, tnear, tfar,
+                    step, large_step, MARCH_PHASE1)
+    live = ~out["done"]
+    n_live = jnp.sum(live)
+
+    def finish_full(out):
+        o2 = mip_march(sample_t, dist_exit_t, tnear, tfar,
+                       step, large_step, max_iters, init=out)
+        return o2["t"], o2["t_prev"], o2["hit"]
+
+    def finish_compact(out):
+        # Slot assignment by prefix sum; dead lanes land in a garbage
+        # bin past the slot range.
+        lv = live.reshape(-1)
+        pos = jnp.cumsum(lv.astype(jnp.int32)) - 1
+        P = -(-npix // 128) * 128
+
+        def pad1(x, v):
+            return x if P == npix else jnp.pad(x, (0, P - npix),
+                                               constant_values=v)
+
+        scat = pad1(jnp.where(lv, pos, slots), slots).reshape(-1, 128)
+        rid = pad1(jnp.arange(npix, dtype=jnp.int32), 0).reshape(-1, 128)
+        ids = jnp.full((slots + 1,), npix, jnp.int32)
+        ids = ids.at[scat].set(rid, mode="drop")[:slots]
+        ids2 = ids.reshape(-1, 128)          # [slots/128, 128] ray ids
+        pad_mask = ids2 >= npix              # unfilled slots
+        safe = jnp.minimum(ids2, npix - 1)
+
+        sub = {k: take_flat(out[k].reshape(-1), safe) for k in fields}
+        sub["done"] = sub["done"] | pad_mask
+        dir_c = direction.reshape(3, -1)[:, safe]
+        tfar_c = take_flat(tfar.reshape(-1), safe)
+        s2, de2 = make_samplers(dir_c)
+        o2 = mip_march(s2, de2, sub["t"], tfar_c, step, large_step,
+                       max_iters, init=sub)
+
+        def back(full, vals):
+            return full.reshape(-1).at[ids2].set(
+                vals, mode="drop").reshape(full.shape)
+
+        return (back(out["t"], o2["t"]),
+                back(out["t_prev"], o2["t_prev"]),
+                back(out["hit"], o2["hit"]))
+
+    t, t_prev, hit = jax.lax.cond(n_live <= slots,
+                                  finish_compact, finish_full, out)
+    return dict(t=t, t_prev=t_prev, hit=hit)
+
+
+def mip_march(sample_t, dist_exit_t, tnear, tfar,
               step: float, large_step: float, max_iters: int,
-              unroll: int = MARCH_UNROLL) -> dict:
+              unroll: int = MARCH_UNROLL,
+              init: dict | None = None) -> dict:
     """The skip-table nearest-sample march, parameterized over the
     per-t samplers so the single-volume and sharded-slab raycasts share
     one implementation. Returns the march state dict (hit, t, t_prev).
+
+    ``sample_t(t) -> (f, d)`` fetches the nearest TSDF sample AND the
+    chebyshev skip distance with ONE stacked gather against a
+    concatenated (volume ++ skip) table: at ray populations a gather is
+    per-OP-cost dominated on this TPU (PROFILE.md §3), so fusing the
+    two per-substep lookups halves the march's gather-op count.
 
     ``unroll`` sub-steps run per ``while_loop`` iteration; the masked
     update rules make the unrolled body produce bit-identical results to
@@ -245,29 +346,34 @@ def mip_march(nearest_t, dist_t, dist_exit_t, tnear, tfar,
     the first occupied cell along a ray — and therefore the bracket the
     refine stage polishes — is independent of the skip ladder that got
     it there (phase-free hops; pinned by the fast-vs-slab ULP-exactness
-    test)."""
-    f_t0 = nearest_t(tnear)
-    active = tnear < tfar
-    marching = active & (f_t0 > 0)
+    test).
 
-    init = dict(
-        t=tnear,
-        t_prev=tnear,
-        f_prev=f_t0,
-        stepsize=jnp.full_like(tnear, large_step),
-        done=~marching,
-        hit=jnp.zeros(tnear.shape, bool),
-        iters=jnp.int32(0),
-    )
+    ``init``: resume from a prior march state (the straggler-compaction
+    second phase) instead of starting at ``tnear``; ``iters`` restarts
+    at 0 so ``max_iters`` is the additional budget."""
+    if init is None:
+        f_t0, _ = sample_t(tnear)
+        active = tnear < tfar
+        marching = active & (f_t0 > 0)
+
+        init = dict(
+            t=tnear,
+            t_prev=tnear,
+            f_prev=f_t0,
+            stepsize=jnp.full_like(tnear, large_step),
+            done=~marching,
+            hit=jnp.zeros(tnear.shape, bool),
+            iters=jnp.int32(0),
+        )
+    else:
+        init = dict(init, iters=jnp.int32(0))
 
     def cond(s):
         return jnp.any(~s["done"]) & (s["iters"] < max_iters)
 
     def substep(s):
         live = ~s["done"]
-        f_tt = nearest_t(s["t"])
-
-        d_val = dist_t(s["t"])
+        f_tt, d_val = sample_t(s["t"])
         empty = d_val >= 1               # provably no crossing in the cell
 
         is_hit = live & ~empty & (f_tt < 0.0)
@@ -314,17 +420,31 @@ RAYCAST_REFINE_ITERS = int(os.environ.get("SLAMBENCH_RAYCAST_REFINE", "2"))
 
 def rescan_refine(tri_t, out: dict, step: float,
                   nscan: int = RAYCAST_NSCAN,
-                  fp_iters: int = RAYCAST_REFINE_ITERS) -> jax.Array:
+                  fp_iters: int = RAYCAST_REFINE_ITERS,
+                  tri_batch=None) -> jax.Array:
     """Re-bracket the nearest-sample crossing on the true trilinear field
     with a short uniform scan over [t_prev, t + step], then polish with
     ``fp_iters`` false-position iterations. Returns t_hit (0 where no
-    hit). Total trilinear evaluations: nscan + 1 + fp_iters."""
+    hit). Total trilinear evaluations: nscan + 1 + fp_iters.
+
+    ``tri_batch`` (optional): evaluates the field at a [K, H, W] batch
+    of t values in one call — the whole rescan then costs ONE stacked
+    gather op instead of nscan + 1 (per-op-dominated gathers,
+    PROFILE.md §3). Scan values are bit-identical either way (the batch
+    is elementwise-broadcast of the same arithmetic)."""
     hit = out["hit"]
     ta = out["t_prev"]
     tb = out["t"] + step
     dtm = (tb - ta) / nscan
 
-    f_run = tri_t(ta)
+    if tri_batch is not None:
+        fs = tri_batch(jnp.stack([ta + dtm * j if j else ta
+                                  for j in range(nscan + 1)]))
+        f_at = [fs[j] for j in range(nscan + 1)]
+    else:
+        f_at = None
+
+    f_run = f_at[0] if f_at is not None else tri_t(ta)
     t0 = ta
     f0 = f_run
     t1 = tb
@@ -333,7 +453,7 @@ def rescan_refine(tri_t, out: dict, step: float,
     fj = f_run
     for j in range(1, nscan + 1):
         tj = ta + dtm * j
-        fj = tri_t(tj)
+        fj = f_at[j] if f_at is not None else tri_t(tj)
         cross = ~found & (f_run > 0) & (fj < 0)
         t0 = jnp.where(cross, ta + dtm * (j - 1.0), t0)
         f0 = jnp.where(cross, f_run, f0)

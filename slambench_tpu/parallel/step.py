@@ -217,6 +217,11 @@ class ShardedKFusion(KFusion):
         flat_skip = make_skip_mip(mip_local).reshape(-1)
         flat_ext = ext.reshape(-1)
         ext_z = ext.shape[0]
+        # Concatenated (slab ++ skip) table: one stacked gather per
+        # march substep (same fusion as the single-chip sampler).
+        n_ext = flat_ext.shape[0]
+        flat_cat = jnp.concatenate([flat_ext,
+                                    flat_skip.astype(jnp.int16)])
 
         origin, direction = camera_rays(view, (H, W))
         o = origin.reshape(3, 1, 1)
@@ -247,18 +252,16 @@ class ShardedKFusion(KFusion):
             lz = jnp.clip(gi[2] - z0_ext, 0, ext_z - 1)
             return gi[0], gi[1], lz
 
-        def nearest_t(t):
+        def sample_t(t):
             x, y, lz = local_idx(t)
-            return take_flat(flat_ext, (lz * sy + y) * sx + x).astype(
-                jnp.float32) * params.TSDF_INV_SCALE
-
-        def dist_t(t):
-            x, y, lz = local_idx(t)
+            vflat = (lz * sy + y) * sx + x
             bx = jnp.clip(x // m, 0, mxb - 1)
             by = jnp.clip(y // m, 0, myb - 1)
             bz = jnp.clip(lz // m, 0, mzb - 1)
-            return take_flat(flat_skip, (bz * myb + by) * mxb + bx).astype(
-                jnp.int32)
+            sflat = n_ext + (bz * myb + by) * mxb + bx
+            both = take_flat(flat_cat, jnp.stack([vflat, sflat]))
+            return (both[0].astype(jnp.float32) * params.TSDF_INV_SCALE,
+                    both[1].astype(jnp.int32))
 
         def dist_exit_t(t, d_val):
             """Exit of the (2(d-1)+1)^3-cell guaranteed-empty ball; cell
@@ -289,7 +292,7 @@ class ShardedKFusion(KFusion):
 
         max_iters = int((params.FAR_PLANE - params.NEAR_PLANE)
                         / self.step) + 2
-        out = mip_march(nearest_t, dist_t, dist_exit_t, my_tnear, my_tfar,
+        out = mip_march(sample_t, dist_exit_t, my_tnear, my_tfar,
                         self.step, large_step, max_iters)
         t_hit_local = rescan_refine(tri_t, out, self.step)
 

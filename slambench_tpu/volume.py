@@ -85,6 +85,27 @@ def _vs(tsdf: jax.Array, x: jax.Array, y: jax.Array, z: jax.Array) -> jax.Array:
     return take_flat(tsdf.reshape(-1), flat).astype(jnp.float32)
 
 
+def _vs_many(tsdf: jax.Array, coords) -> list:
+    """The values of MANY lattice points fetched with ONE gather op.
+
+    ``coords`` is a sequence of (x, y, z) integer index arrays (all the
+    same shape); returns the corresponding float values in order. At the
+    raycast's 77k-ray population a gather is per-OP-cost dominated on
+    TPU (~17-22 ms standalone, ~0.5 ms in-jit, vs ~0.4 ms of element
+    cost — PROFILE.md §3), so stacking k lookups into one [k, ...]-index
+    gather costs ~1/k of k separate gathers. Values are identical to k
+    ``_vs`` calls (same gather semantics), keeping callers bit-exact.
+    """
+    sz, sy, sx = tsdf.shape
+    flat = jnp.stack([(z * sy + y) * sx + x for x, y, z in coords])
+    k = flat.shape[0]
+    if flat.ndim == 1:                      # scalar-position callers
+        vals = take_flat(tsdf.reshape(-1), flat.reshape(k, 1)).reshape(k)
+    else:
+        vals = take_flat(tsdf.reshape(-1), flat)
+    return [vals[i].astype(jnp.float32) for i in range(k)]
+
+
 def interp(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
     """Trilinear TSDF interpolation at world positions ``pos`` ([3, ...]).
 
@@ -109,14 +130,11 @@ def interp(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
     ux, uy, uz = upper[0], upper[1], upper[2]
     fx, fy, fz = factor[0], factor[1], factor[2]
 
-    c000 = _vs(tsdf, lx, ly, lz)
-    c100 = _vs(tsdf, ux, ly, lz)
-    c010 = _vs(tsdf, lx, uy, lz)
-    c110 = _vs(tsdf, ux, uy, lz)
-    c001 = _vs(tsdf, lx, ly, uz)
-    c101 = _vs(tsdf, ux, ly, uz)
-    c011 = _vs(tsdf, lx, uy, uz)
-    c111 = _vs(tsdf, ux, uy, uz)
+    # All 8 corners in ONE gather op (per-op-cost dominated at image
+    # populations — see _vs_many); values bit-identical to 8 _vs calls.
+    (c000, c100, c010, c110, c001, c101, c011, c111) = _vs_many(
+        tsdf, [(lx, ly, lz), (ux, ly, lz), (lx, uy, lz), (ux, uy, lz),
+               (lx, ly, uz), (ux, ly, uz), (lx, uy, uz), (ux, uy, uz)])
 
     v = (((c000 * (1 - fx) + c100 * fx) * (1 - fy)
           + (c010 * (1 - fx) + c110 * fx) * fy) * (1 - fz)
@@ -174,14 +192,17 @@ def grad(tsdf: jax.Array, dim: Dim3, pos: jax.Array) -> jax.Array:
     # each point exactly once — values and blend arithmetic match the
     # naive 48-gather form bit-for-bit (reference: commons.h:215-301),
     # at 2/3 the gather traffic (gathers price the raycast, PROFILE.md).
-    C = {(i, j, k): _vs(tsdf, xs[i], ys[j], zs[k])
-         for i in (0, 1) for j in (0, 1) for k in (0, 1)}
-    XW = {(a, j, k): _vs(tsdf, (ll[0], uu[0])[a], ys[j], zs[k])
-          for a in (0, 1) for j in (0, 1) for k in (0, 1)}
-    YW = {(i, b, k): _vs(tsdf, xs[i], (ll[1], uu[1])[b], zs[k])
-          for i in (0, 1) for b in (0, 1) for k in (0, 1)}
-    ZW = {(i, j, c): _vs(tsdf, xs[i], ys[j], (ll[2], uu[2])[c])
-          for i in (0, 1) for j in (0, 1) for c in (0, 1)}
+    sel3 = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    coords = (
+        [(xs[i], ys[j], zs[k]) for i, j, k in sel3]
+        + [((ll[0], uu[0])[a], ys[j], zs[k]) for a, j, k in sel3]
+        + [(xs[i], (ll[1], uu[1])[b], zs[k]) for i, b, k in sel3]
+        + [(xs[i], ys[j], (ll[2], uu[2])[c]) for i, j, c in sel3])
+    vals = _vs_many(tsdf, coords)           # one 32-point gather op
+    C = {k: vals[n] for n, k in enumerate(sel3)}
+    XW = {k: vals[8 + n] for n, k in enumerate(sel3)}
+    YW = {k: vals[16 + n] for n, k in enumerate(sel3)}
+    ZW = {k: vals[24 + n] for n, k in enumerate(sel3)}
 
     gx = trilerp(lambda i, j, k: (C[1, j, k] - XW[0, j, k]) if i == 0
                  else (XW[1, j, k] - C[0, j, k]))

@@ -69,3 +69,37 @@ def test_fast_no_hits_in_empty_volume():
                              0.1, 4.0, 2.0 / 64, 0.15)
     assert (np.asarray(n[0]) == -2).all()
     np.testing.assert_allclose(np.asarray(v), 0.0)
+
+
+def test_two_phase_compaction_bit_identical(monkeypatch):
+    """The straggler-compacted march must reproduce the single-phase
+    march BIT-identically (the per-ray math is elementwise on gathered
+    state; compaction only changes the array shape it runs in)."""
+    import importlib
+    from slambench_tpu.ops import raycast_fast as rf
+
+    dim = (2.0, 2.0, 2.0)
+    tsdf = _sphere_volume()
+    mip = make_min_mip(tsdf)
+    pose = G.translation_pose([1.0, 1.0, 0.2])
+    k = jnp.array([60.0, 60.0, 16.0, 12.0])
+    view = G.mat4mul(pose, G.get_inverse_camera_matrix(k))
+    args = (dim, view, (24, 32), 0.1, 4.0, 2.0 / 64, 0.15)
+
+    # Force a phase-1 budget small enough that stragglers exist.
+    monkeypatch.setenv("SLAMBENCH_MARCH_COMPACT", "1")
+    monkeypatch.setenv("SLAMBENCH_MARCH_PHASE1", "6")
+    importlib.reload(rf)
+    v1, n1, t1 = rf.raycast_fast_maps(tsdf, rf.make_min_mip(tsdf), *args)
+
+    monkeypatch.setenv("SLAMBENCH_MARCH_COMPACT", "0")
+    importlib.reload(rf)
+    v2, n2, t2 = rf.raycast_fast_maps(tsdf, rf.make_min_mip(tsdf), *args)
+
+    monkeypatch.delenv("SLAMBENCH_MARCH_COMPACT")
+    monkeypatch.delenv("SLAMBENCH_MARCH_PHASE1")
+    importlib.reload(rf)
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
