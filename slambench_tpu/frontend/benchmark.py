@@ -20,6 +20,7 @@ Usage:  python -m slambench_tpu.frontend.benchmark -i scene.raw -o out.log
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -138,79 +139,104 @@ def run(config: Configuration, fused: bool = False,
     # Dispatch batching (--scan-chunk N): steady-state frames run as one
     # lax.scan dispatch of N fused steps (single-chip or sharded — the
     # TPU-native fast path; removes the per-frame host round-trip the
-    # tunnel prices at ~40%, BENCHMARKS.md). Only for the canonical
-    # -r 1 schedule (the scan body bakes the steady-state gates) and the
-    # fused/mesh modes; per-phase columns then report 0 and
-    # `computation` is the per-frame share of the chunk dispatch.
-    scan_ok = (scan_chunk > 1 and config.tracking_rate == 1
-               and config.integration_rate == 1
+    # tunnel prices at ~40%, BENCHMARKS.md). The canonical -r 1 schedule
+    # uses the steady-state scan; rate-gated schedules (e.g. the
+    # reference Makefile's -r 2 default) use the rated scan whose body
+    # carries one full gate period per step
+    # (pipeline.compute_frames_scan_rated). Fused/mesh modes only;
+    # per-phase columns then report 0 and `computation` is the
+    # per-frame share of the chunk dispatch.
+    gate_period = math.lcm(config.tracking_rate, config.integration_rate)
+    scan_ok = (scan_chunk > 1 and gate_period <= scan_chunk
                and (fused or config.mesh)
                and timed_runner is None and pgkf is None)
+    pending: list = []
 
     frame = start_frame
     summary = {"frames": 0, "computation": [], "total": []}
     t0 = time.monotonic()
     while True:
-        depth = reader.read_next_depth_frame()
+        depth = pending.pop(0) if pending \
+            else reader.read_next_depth_frame()
         if depth is None or (max_frames is not None and frame >= max_frames):
             break
         depth = jnp.asarray(np.ascontiguousarray(depth))
 
         if scan_ok and frame > 3:
             # Read ahead up to scan_chunk steady-state frames and run
-            # them as one scan dispatch.
+            # them as one scan dispatch (whole gate periods only; the
+            # remainder goes back to the per-frame path).
             depths = [depth]
             while len(depths) < scan_chunk and \
                     (max_frames is None
                      or frame + len(depths) < max_frames):
-                d2 = reader.read_next_depth_frame()
+                d2 = pending.pop(0) if pending \
+                    else reader.read_next_depth_frame()
                 if d2 is None:
                     break
                 depths.append(jnp.asarray(np.ascontiguousarray(d2)))
-            pos_before = kf.get_position(state)
-            t1 = _fence(depths[-1])
-            state, outs = kf.compute_frames_scan(state, jnp.stack(depths))
-            t5 = _fence(state)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-            # Render once at the chunk end (the diagnostic images show
-            # the final state; per-row rendering shares the cost).
-            _ = kf.render_depth_image(state)
-            _ = kf.render_track_image(state)
-            if any((frame + i) % config.rendering_rate == 0
-                   for i in range(len(depths))):
-                _ = kf.render_volume_image(state)
-            t6 = _fence(_)
-            n_b = len(depths)
-            per = (t5 - t1) / n_b
-            per_r = (t6 - t5) / n_b
-            init_arr = np.asarray(kf.init_pose, np.float32)
-            brk = None
-            for i in range(n_b):
-                fi = frame + i
-                pos = pos_before if i == 0 \
-                    else outs["pos"][i - 1] - init_arr
-                tracked = int(outs["tracked"][i])
-                integrated = int(outs["integrated"][i])
-                print("%d\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f"
-                      "\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%d        \t%d"
-                      % (fi, (t1 - t0) if i == 0 else 0.0,
-                         0.0, 0.0, 0.0, per, per_r, per,
-                         per + per_r + ((t1 - t0) if i == 0 else 0.0),
-                         pos[0], pos[1], pos[2], tracked, integrated),
-                      file=logstream)
-                summary["computation"].append(per)
-                summary["total"].append(per + per_r)
-                summary["frames"] += 1
-                if break_on_untracked and not tracked:
-                    brk = f"untracked at frame {fi}"
-                if break_at_frame is not None and fi >= break_at_frame:
-                    brk = brk or f"at frame {fi}"
-            frame += n_b
-            t0 = time.monotonic()
-            if brk:
-                print(f"BREAK: {brk}", file=sys.stderr)
-                break
-            continue
+            n_use = len(depths) // gate_period * gate_period
+            pending = list(depths[n_use:]) + pending
+            depths = depths[:n_use]
+            if not depths:
+                # Fewer than one gate period left: per-frame tail.
+                depth = pending.pop(0)
+                scan_ok = False
+            else:
+                pos_before = kf.get_position(state)
+                t1 = _fence(depths[-1])
+                if gate_period == 1:
+                    state, outs = kf.compute_frames_scan(
+                        state, jnp.stack(depths))
+                else:
+                    stacked = jnp.stack(depths).reshape(
+                        (-1, gate_period) + depths[0].shape)
+                    state, outs = kf.compute_frames_scan_rated(
+                        state, stacked,
+                        tracking_rate=config.tracking_rate,
+                        integration_rate=config.integration_rate,
+                        phase=frame % gate_period)
+                t5 = _fence(state)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+                # Render once at the chunk end (the diagnostic images show
+                # the final state; per-row rendering shares the cost).
+                _ = kf.render_depth_image(state)
+                _ = kf.render_track_image(state)
+                if any((frame + i) % config.rendering_rate == 0
+                       for i in range(len(depths))):
+                    _ = kf.render_volume_image(state)
+                t6 = _fence(_)
+                n_b = len(depths)
+                per = (t5 - t1) / n_b
+                per_r = (t6 - t5) / n_b
+                init_arr = np.asarray(kf.init_pose, np.float32)
+                brk = None
+                for i in range(n_b):
+                    fi = frame + i
+                    pos = pos_before if i == 0 \
+                        else outs["pos"][i - 1] - init_arr
+                    tracked = int(outs["tracked"][i])
+                    integrated = int(outs["integrated"][i])
+                    print("%d\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f"
+                          "\t%.10f\t%.10f\t%.10f\t%.10f\t%.10f\t%d        \t%d"
+                          % (fi, (t1 - t0) if i == 0 else 0.0,
+                             0.0, 0.0, 0.0, per, per_r, per,
+                             per + per_r + ((t1 - t0) if i == 0 else 0.0),
+                             pos[0], pos[1], pos[2], tracked, integrated),
+                          file=logstream)
+                    summary["computation"].append(per)
+                    summary["total"].append(per + per_r)
+                    summary["frames"] += 1
+                    if break_on_untracked and not tracked:
+                        brk = f"untracked at frame {fi}"
+                    if break_at_frame is not None and fi >= break_at_frame:
+                        brk = brk or f"at frame {fi}"
+                frame += n_b
+                t0 = time.monotonic()
+                if brk:
+                    print(f"BREAK: {brk}", file=sys.stderr)
+                    break
+                continue
 
         # Pose logged at frame start = result of the previous frame
         # (reference: benchmark.cpp:127-131).

@@ -579,27 +579,18 @@ class ShardedKFusion(KFusion):
 
     # --------------------------- frontend ------------------------------ #
 
-    def _compute_frames_scan(self, state: KFusionState,
-                             depths: jax.Array
-                             ) -> Tuple[KFusionState, dict]:
-        """Sharded dispatch batching: ``lax.scan`` whose body is the
-        shard_map'd steady-state step (same gate pattern as the
-        single-chip scan, pipeline.py:_compute_frames_scan). Removes the
-        per-frame host dispatch round-trip from the sharded tier — the
-        overhead class measured at ~40% of frame time on the tunneled
-        endpoint (BENCHMARKS.md) — while every per-frame collective
-        (halo ppermute, ICP psum, raycast pmin/psum) stays inside the
-        one compiled program. The parent class jits this with the state
-        donated, so the sharded volume updates in place across the whole
-        chunk."""
-        def body(s, depth):
-            s = self._stepper(s, depth, tracking_on=True,
-                              integrate_frame=True,
-                              force_integrate=False, raycast_on=True)
-            return s, {"pos": s.pose[:3, 3], "tracked": s.tracked,
-                       "integrated": s.integrated}
-
-        return jax.lax.scan(body, state, depths)
+    def _scan_step(self, state: KFusionState, depth: jax.Array,
+                   **gates) -> KFusionState:
+        """Sharded dispatch batching: the parent's scan variants
+        (steady-state and rate-gated, pipeline.py) run with the
+        shard_map'd step as their body. Removes the per-frame host
+        dispatch round-trip from the sharded tier — the overhead class
+        measured at ~40% of frame time on the tunneled endpoint
+        (BENCHMARKS.md) — while every per-frame collective (halo
+        ppermute, ICP psum, raycast pmin/psum) stays inside the one
+        compiled program; the donated state keeps the sharded volume
+        updating in place across the whole chunk."""
+        return self._stepper(state, depth, **gates)
 
     def process_frame(self, state: KFusionState, input_depth, frame: int,
                       tracking_rate: int = 1, integration_rate: int = 2

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -190,6 +191,10 @@ class KFusion:
         self.raycasting = jax.jit(self._raycasting, donate_argnums=0)
         self.compute_frames_scan = jax.jit(
             self._compute_frames_scan, donate_argnums=0)
+        self.compute_frames_scan_rated = jax.jit(
+            self._compute_frames_scan_rated, donate_argnums=0,
+            static_argnames=("tracking_rate", "integration_rate",
+                             "phase"))
         self.compute_frame = jax.jit(
             self._compute_frame, donate_argnums=0,
             static_argnames=("tracking_on", "integrate_frame",
@@ -424,14 +429,59 @@ class KFusion:
         material (BENCHMARKS.md). Bootstrap frames (<= 3) and
         rate-gated schedules still go through per-frame dispatch."""
         def body(s, depth):
-            s = self._compute_frame(s, depth, tracking_on=True,
-                                    integrate_frame=True,
-                                    force_integrate=False,
-                                    raycast_on=True)
+            s = self._scan_step(s, depth, tracking_on=True,
+                                integrate_frame=True,
+                                force_integrate=False,
+                                raycast_on=True)
             return s, {"pos": s.pose[:3, 3], "tracked": s.tracked,
                        "integrated": s.integrated}
 
         return jax.lax.scan(body, state, depths)
+
+    def _scan_step(self, state: KFusionState, depth: jax.Array,
+                   **gates) -> KFusionState:
+        """The one-frame step the scan bodies run — overridden by
+        ShardedKFusion with the shard_map step so both scan variants
+        serve both tiers."""
+        return self._compute_frame(state, depth, **gates)
+
+    def _compute_frames_scan_rated(self, state: KFusionState,
+                                   depths: jax.Array, *,
+                                   tracking_rate: int,
+                                   integration_rate: int,
+                                   phase: int
+                                   ) -> Tuple[KFusionState, dict]:
+        """Dispatch batching for RATE-GATED schedules (the reference
+        Makefile's ``-r 2`` default): the scan body consumes one full
+        gate period (lcm of the rates) per step, with each in-period
+        frame's gates static — so e.g. a ``-r 2`` run alternates
+        integrate-on/off inside one compiled scan body instead of
+        falling back to per-frame dispatch. ``phase`` is the first
+        frame's index modulo the period (gates follow the reference's
+        ``frame % rate`` convention, cpp/kernels.cpp:927,994).
+        ``depths`` is [K, L, H, W] with L the gate period."""
+        L = math.lcm(tracking_rate, integration_rate)
+        assert depths.ndim == 4 and depths.shape[1] == L, depths.shape
+
+        def body(s, dblock):
+            outs = []
+            for i in range(L):
+                f = phase + i
+                s = self._scan_step(
+                    s, dblock[i],
+                    tracking_on=(f % tracking_rate == 0),
+                    integrate_frame=(f % integration_rate == 0),
+                    force_integrate=False, raycast_on=True)
+                outs.append({"pos": s.pose[:3, 3], "tracked": s.tracked,
+                             "integrated": s.integrated})
+            stacked = {k: jnp.stack([o[k] for o in outs])
+                       for k in outs[0]}
+            return s, stacked
+
+        state, ys = jax.lax.scan(body, state, depths)
+        # [K, L, ...] -> [K*L, ...] frame-major outputs.
+        return state, {k: v.reshape((-1,) + v.shape[2:])
+                       for k, v in ys.items()}
 
     # ---------------------------- frontends --------------------------- #
 

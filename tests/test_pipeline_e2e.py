@@ -209,3 +209,50 @@ def test_checkpoint_resume_identical(dataset):
         state2 = kf.process_frame(state2, jnp.asarray(depths[frame]), frame)
     np.testing.assert_allclose(np.asarray(state2.pose), final_pose,
                                atol=1e-6)
+
+
+def test_rated_scan_matches_per_frame(dataset):
+    """compute_frames_scan_rated (dispatch batching for rate-gated
+    schedules, e.g. the reference Makefile's -r 2) vs per-frame
+    dispatch: same gates per frame, same ulp-class contract as the
+    steady-state scan test above."""
+    man = dataset
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    args = ((160, 120), (64, 64, 64), man["dim"], init, (10, 5, 4),
+            man["camera"])
+    rd = RawDepthReader(man["raw"])
+    frames = [jnp.asarray(np.ascontiguousarray(rd.read_next_depth_frame()))
+              for _ in range(12)]
+
+    def boot(kf):
+        s = kf.init_state()
+        for f in range(4):
+            s = kf.compute_frame(s, frames[f], tracking_on=True,
+                                 integrate_frame=(f % 2 == 0),
+                                 force_integrate=(f <= 3),
+                                 raycast_on=(f > 2))
+        return s
+
+    kf1 = KFusion(*args, backend="fast")
+    s1 = boot(kf1)
+    poses1, integ1 = [], []
+    for f in range(4, 12):
+        s1 = kf1.compute_frame(s1, frames[f], tracking_on=True,
+                               integrate_frame=(f % 2 == 0),
+                               force_integrate=False, raycast_on=True)
+        poses1.append(np.asarray(s1.pose[:3, 3]))
+        integ1.append(bool(s1.integrated))
+
+    kf2 = KFusion(*args, backend="fast")
+    s2 = boot(kf2)
+    stacked = jnp.stack(frames[4:12]).reshape(4, 2, 120, 160)
+    s2, outs = kf2.compute_frames_scan_rated(
+        s2, stacked, tracking_rate=1, integration_rate=2, phase=0)
+    np.testing.assert_allclose(np.asarray(outs["pos"]),
+                               np.asarray(poses1), atol=1e-4)
+    # The integrate gate alternates exactly like the per-frame -r 2 run.
+    np.testing.assert_array_equal(np.asarray(outs["integrated"]),
+                                  np.asarray(integ1))
+    d = np.abs(np.asarray(s2.tsdf, np.int32) - np.asarray(s1.tsdf, np.int32))
+    assert (d > 0).mean() < 0.02
+    assert (d > 2).mean() < 1e-4
