@@ -152,18 +152,24 @@ class ShardedKFusion(KFusion):
         flatW = ext.reshape(-1)
         sy_, sx_ = ext.shape[1], ext.shape[2]
 
-        def vs(x, y, zg):
-            idx = (local_z(zg) * sy_ + y) * sx_ + x
-            return take_flat(flatW, idx).astype(jnp.float32)
-
         lx, ly, lz = lower[0], lower[1], lower[2]
         ux, uy, uz = upper[0], upper[1], upper[2]
         fx, fy, fz = factor[0], factor[1], factor[2]
-        v = (((vs(lx, ly, lz) * (1 - fx) + vs(ux, ly, lz) * fx) * (1 - fy)
-              + (vs(lx, uy, lz) * (1 - fx) + vs(ux, uy, lz) * fx) * fy)
+        # All 8 corners in one stacked gather (gathers are per-op-cost
+        # dominated at ray populations, PROFILE.md §3/§9); values and
+        # blend order identical to 8 separate fetches.
+        corners = [(lx, ly, lz), (ux, ly, lz), (lx, uy, lz), (ux, uy, lz),
+                   (lx, ly, uz), (ux, ly, uz), (lx, uy, uz), (ux, uy, uz)]
+        idx8 = jnp.stack([(local_z(zg) * sy_ + y) * sx_ + x
+                          for x, y, zg in corners])
+        c = take_flat(flatW, idx8).astype(jnp.float32)
+        (c000, c100, c010, c110, c001, c101, c011, c111) = [
+            c[i] for i in range(8)]
+        v = (((c000 * (1 - fx) + c100 * fx) * (1 - fy)
+              + (c010 * (1 - fx) + c110 * fx) * fy)
              * (1 - fz)
-             + ((vs(lx, ly, uz) * (1 - fx) + vs(ux, ly, uz) * fx) * (1 - fy)
-                + (vs(lx, uy, uz) * (1 - fx) + vs(ux, uy, uz) * fx) * fy)
+             + ((c001 * (1 - fx) + c101 * fx) * (1 - fy)
+                + (c011 * (1 - fx) + c111 * fx) * fy)
              * fz)
         return v * params.TSDF_INV_SCALE
 
@@ -350,10 +356,9 @@ class ShardedKFusion(KFusion):
         sy_, sx_ = ext.shape[1], ext.shape[2]
         flatW = ext.reshape(-1)
 
-        def vs(x, y, zg):
+        def _flat(x, y, zg):
             zl = jnp.clip(zg - z0_ext, 0, ext_z - 1)
-            return take_flat(flatW, (zl * sy_ + y) * sx_ + x).astype(
-                jnp.float32)
+            return (zl * sy_ + y) * sx_ + x
 
         def trilerp(sample):
             c000 = sample(0, 0, 0); c100 = sample(1, 0, 0)
@@ -367,15 +372,19 @@ class ShardedKFusion(KFusion):
 
         xs = (lo[0], up[0]); ys = (lo[1], up[1]); zs = (lo[2], up[2])
         # 32-distinct-point dedup of the 48 stencil endpoints — see
-        # volume.grad for the derivation (bit-identical results).
-        C = {(i, j, k): vs(xs[i], ys[j], zs[k])
-             for i in (0, 1) for j in (0, 1) for k in (0, 1)}
-        XW = {(a, j, k): vs((ll[0], uu[0])[a], ys[j], zs[k])
-              for a in (0, 1) for j in (0, 1) for k in (0, 1)}
-        YW = {(i, b, k): vs(xs[i], (ll[1], uu[1])[b], zs[k])
-              for i in (0, 1) for b in (0, 1) for k in (0, 1)}
-        ZW = {(i, j, c): vs(xs[i], ys[j], (ll[2], uu[2])[c])
-              for i in (0, 1) for j in (0, 1) for c in (0, 1)}
+        # volume.grad for the derivation (bit-identical results) — all
+        # fetched with ONE stacked gather (PROFILE.md §9).
+        sel3 = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+        flats = (
+            [_flat(xs[i], ys[j], zs[k]) for i, j, k in sel3]
+            + [_flat((ll[0], uu[0])[a], ys[j], zs[k]) for a, j, k in sel3]
+            + [_flat(xs[i], (ll[1], uu[1])[b], zs[k]) for i, b, k in sel3]
+            + [_flat(xs[i], ys[j], (ll[2], uu[2])[c]) for i, j, c in sel3])
+        vals = take_flat(flatW, jnp.stack(flats)).astype(jnp.float32)
+        C = {k: vals[n] for n, k in enumerate(sel3)}
+        XW = {k: vals[8 + n] for n, k in enumerate(sel3)}
+        YW = {k: vals[16 + n] for n, k in enumerate(sel3)}
+        ZW = {k: vals[24 + n] for n, k in enumerate(sel3)}
         gx = trilerp(lambda i, j, k: (C[1, j, k] - XW[0, j, k]) if i == 0
                      else (XW[1, j, k] - C[0, j, k]))
         gy = trilerp(lambda i, j, k: (C[i, 1, k] - YW[i, 0, k]) if j == 0
