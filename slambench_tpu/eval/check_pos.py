@@ -159,7 +159,12 @@ def main(argv=None):
     # length (pre-truncation), GT length, their min, and the tracked==0
     # row count.
     n_kf = nvalid + int(ate["dropped"])
-    untracked = int(np.sum(log["tracked"] == 0))
+    # The reference initializes its counter to -4 (checkPos.py:33
+    # ``untracked = -4``) so the banner reports (rows with tracked==0)
+    # minus 4 — discounting the bootstrap frames. Quirk reproduced for
+    # field-for-field resume-log parity (same policy as the bilateral
+    # border bug).
+    untracked = int(np.sum(log["tracked"] == 0)) - 4
     print("KFusion valid frames %d,  dropped frames: %d"
           % (nvalid, int(ate["dropped"])))
     print("KFusion result        : %d positions." % n_kf)

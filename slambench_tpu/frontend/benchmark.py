@@ -147,9 +147,17 @@ def run(config: Configuration, fused: bool = False,
     # per-phase columns then report 0 and `computation` is the
     # per-frame share of the chunk dispatch.
     gate_period = math.lcm(config.tracking_rate, config.integration_rate)
+    # Scan batching is incompatible with per-frame host-side observation:
+    # breakpoints would fire only at chunk granularity (up to
+    # scan_chunk-1 frames past the break point) and --stats/power
+    # sampling has no per-frame timestamps inside a chunk — so those
+    # modes fall back to per-frame dispatch rather than silently
+    # degrading.
     scan_ok = (scan_chunk > 1 and gate_period <= scan_chunk
                and (fused or config.mesh)
-               and timed_runner is None and pgkf is None)
+               and timed_runner is None and pgkf is None
+               and not stats
+               and not break_on_untracked and break_at_frame is None)
     pending: list = []
 
     frame = start_frame
@@ -210,7 +218,6 @@ def run(config: Configuration, fused: bool = False,
                 per = (t5 - t1) / n_b
                 per_r = (t6 - t5) / n_b
                 init_arr = np.asarray(kf.init_pose, np.float32)
-                brk = None
                 for i in range(n_b):
                     fi = frame + i
                     pos = pos_before if i == 0 \
@@ -227,15 +234,8 @@ def run(config: Configuration, fused: bool = False,
                     summary["computation"].append(per)
                     summary["total"].append(per + per_r)
                     summary["frames"] += 1
-                    if break_on_untracked and not tracked:
-                        brk = f"untracked at frame {fi}"
-                    if break_at_frame is not None and fi >= break_at_frame:
-                        brk = brk or f"at frame {fi}"
                 frame += n_b
                 t0 = time.monotonic()
-                if brk:
-                    print(f"BREAK: {brk}", file=sys.stderr)
-                    break
                 continue
 
         # Pose logged at frame start = result of the previous frame

@@ -36,9 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
     ap.add_argument("--json", default="")
-    ap.add_argument("--cpu", action="store_true", default=True)
     args = ap.parse_args(argv)
 
+    # Trip counts depend only on geometry (docstring above), so the tool
+    # always runs on CPU — no flag, no accidental TPU compile.
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

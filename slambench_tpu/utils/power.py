@@ -10,9 +10,14 @@ PerfStats. Sensor backends:
 * Intel RAPL via powercap sysfs (the PAPI path of the reference,
   reference: PowerMonitor.cpp:225-474, reads the same MSR-backed
   counters without requiring PAPI);
-* TPU-VM power telemetry when exposed (gated, best-effort);
+* generic Linux hwmon power rails (``/sys/class/hwmon/*/power*_input``,
+  microwatts) — covers server boards/BMCs that expose instantaneous
+  power without RAPL;
 * DUMMY — no sensors, sampling is a no-op (reference:
   PowerMonitor.cpp:87-89,138-143).
+
+The sysfs roots are constructor-injectable so each backend is testable
+against a fixture tree (tests/test_power.py).
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import glob
 import os
 import time
 from enum import Enum
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 from slambench_tpu.utils.perfstats import PerfStats, StatType
 
@@ -29,6 +34,7 @@ from slambench_tpu.utils.perfstats import PerfStats, StatType
 class SensorType(Enum):
     ODROID = "odroid"
     RAPL = "rapl"
+    HWMON = "hwmon"
     DUMMY = "dummy"
 
 
@@ -41,22 +47,27 @@ _ODROID_NODES = {
 }
 
 _RAPL_ROOT = "/sys/class/powercap"
+_HWMON_ROOT = "/sys/class/hwmon"
 
 
 class PowerMonitor:
-    def __init__(self):
+    def __init__(self,
+                 odroid_nodes: Optional[Dict[str, str]] = None,
+                 rapl_root: str = _RAPL_ROOT,
+                 hwmon_root: str = _HWMON_ROOT):
         self.power_stats = PerfStats()
         self._odroid: Dict[str, str] = {}
         self._rapl: Dict[str, str] = {}
+        self._hwmon: Dict[str, str] = {}
         self._rapl_last: Dict[str, tuple] = {}
 
-        for name, pattern in _ODROID_NODES.items():
+        for name, pattern in (odroid_nodes or _ODROID_NODES).items():
             hits = glob.glob(pattern)
             if hits:
                 self._odroid[name] = hits[0]
         if not self._odroid:
             for zone in sorted(glob.glob(os.path.join(
-                    _RAPL_ROOT, "intel-rapl:*"))):
+                    rapl_root, "intel-rapl:*"))):
                 name_file = os.path.join(zone, "name")
                 energy_file = os.path.join(zone, "energy_uj")
                 if os.path.exists(name_file) and os.access(energy_file,
@@ -67,11 +78,35 @@ class PowerMonitor:
                     except (OSError, ValueError):
                         continue
                     self._rapl[label] = energy_file
+        if not self._odroid and not self._rapl:
+            for chip in sorted(glob.glob(os.path.join(hwmon_root,
+                                                      "hwmon*"))):
+                try:
+                    chip_name = open(os.path.join(chip,
+                                                  "name")).read().strip()
+                except OSError:
+                    chip_name = os.path.basename(chip)
+                for node in sorted(glob.glob(os.path.join(
+                        chip, "power*_input"))):
+                    try:
+                        int(open(node).read().strip())
+                    except (OSError, ValueError):
+                        continue
+                    rail = os.path.basename(node)[: -len("_input")]
+                    label_file = os.path.join(chip, rail + "_label")
+                    if os.path.exists(label_file):
+                        try:
+                            rail = open(label_file).read().strip()
+                        except OSError:
+                            pass
+                    self._hwmon[f"{chip_name}_{rail}"] = node
 
         if self._odroid:
             self.sensor = SensorType.ODROID
         elif self._rapl:
             self.sensor = SensorType.RAPL
+        elif self._hwmon:
+            self.sensor = SensorType.HWMON
         else:
             self.sensor = SensorType.DUMMY
 
@@ -120,6 +155,14 @@ class PowerMonitor:
                     continue
                 watts = (duj * 1e-6) / (now - prev[1])
                 self.power_stats.sample("Power_" + label, watts,
+                                        StatType.POWER)
+        elif self.sensor == SensorType.HWMON:
+            for name, path in self._hwmon.items():
+                try:
+                    uw = int(open(path).read().strip())
+                except (OSError, ValueError):
+                    continue
+                self.power_stats.sample("Power_" + name, uw * 1e-6,
                                         StatType.POWER)
         # DUMMY: no-op.
 

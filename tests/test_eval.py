@@ -96,7 +96,9 @@ def test_resume_banner_parity(tmp_path, capsys):
     assert "KFusion result        : 5 positions." in out
     assert "NUIM  result        : 7 positions." in out
     assert "Working position is : 5" in out
-    assert "Untracked frames: 1" in out
+    # 1 row with tracked==0, minus the reference's -4 initialization
+    # (checkPos.py:33) reproduced for banner parity.
+    assert "Untracked frames: -3" in out
     assert "Shift KFusion trajectory..." in out
 
 
