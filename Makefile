@@ -109,6 +109,21 @@ datasets-icl: $(ICL_RAWS) \
 	  >> resume.$@ || true
 	cat resume.$@
 
+# Fused/scan-tier variant: per-kernel rows come from a captured device
+# trace (KERNEL_TIMINGS=xprof -> eval/xprof2log; kernel names are the
+# HLO fusions XLA actually runs). The reference's per-kernel stream
+# works in its benchmark mode unconditionally (cpp/kernels.cpp:16-37);
+# this is the equivalent for dispatches that fuse whole frames.
+%.fused.log: $(DATA)/%.raw
+	KERNEL_TIMINGS=xprof $(PYTHON) -m slambench_tpu.frontend.benchmark \
+	  $($*_PARS) -i $(DATA)/$*.raw -o $@ --fused --scan-chunk 8 \
+	  2> $*.fused.kernels.log
+	$(PYTHON) -m slambench_tpu.eval.check_pos $@ \
+	  $(DATA)/$*.gt.freiburg > resume.$@
+	$(PYTHON) -m slambench_tpu.eval.check_kernels $*.fused.kernels.log \
+	  >> resume.$@ || true
+	cat resume.$@
+
 test:
 	$(PYTHON) -m pytest tests/ -x -q
 

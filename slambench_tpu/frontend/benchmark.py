@@ -54,7 +54,8 @@ def run(config: Configuration, fused: bool = False,
         max_frames: Optional[int] = None, quiet: bool = False,
         stats: bool = False, break_on_untracked: bool = False,
         break_at_frame: Optional[int] = None,
-        keyframes: bool = False, scan_chunk: int = 0) -> dict:
+        keyframes: bool = False, ba: bool = False,
+        scan_chunk: int = 0) -> dict:
     """Run the benchmark; returns summary statistics."""
     logstream = sys.stdout
     logfile = None
@@ -108,7 +109,8 @@ def run(config: Configuration, fused: bool = False,
         from slambench_tpu.models.keyframes import (
             KeyframeStore, PoseGraphKFusion,
         )
-        pgkf = PoseGraphKFusion(kf, KeyframeStore())
+        pgkf = PoseGraphKFusion(kf, KeyframeStore(),
+                                backend="ba" if ba else "posegraph")
 
     start_frame = 0
     if config.resume_file:
@@ -128,11 +130,23 @@ def run(config: Configuration, fused: bool = False,
         power = PowerMonitor()
         power.start()
 
+    # KERNEL_TIMINGS routes (reference: cpp/kernels.cpp:16-37 works in
+    # its benchmark mode unconditionally):
+    #   * any truthy value, phased single-chip mode -> TimedRunner
+    #     (every kernel its own fenced dispatch, TICK/TOCK lines);
+    #   * KERNEL_TIMINGS=xprof -> device-trace attribution that works
+    #     for the FUSED/scan/mesh tiers too: one steady-state dispatch
+    #     window is captured with jax.profiler and converted to the
+    #     same ``name ns`` stderr stream via eval/xprof2log (names are
+    #     HLO-level — fusion.N/while.N — the kernels XLA actually runs).
+    xprof_mode = os.environ.get("KERNEL_TIMINGS", "").lower() == "xprof"
     timed_runner = None
-    if kernel_timings_enabled() and not config.mesh and not fused \
-            and not keyframes:
+    if kernel_timings_enabled() and not xprof_mode and not config.mesh \
+            and not fused and not keyframes:
         from slambench_tpu.frontend.timed import TimedRunner
         timed_runner = TimedRunner(kf)
+    xprof_dir = None
+    xprof_frames = 0
 
     print(HEADER, file=logstream)
 
@@ -193,6 +207,22 @@ def run(config: Configuration, fused: bool = False,
             else:
                 pos_before = kf.get_position(state)
                 t1 = _fence(depths[-1])
+                # Trace the SECOND chunk: the first one compiles, and a
+                # trace spanning the compile drops the device events of
+                # the execution that follows it (measured on the axon
+                # endpoint).
+                tracing = (xprof_mode and xprof_dir is None
+                           and frame > 3 + scan_chunk)
+                if tracing:
+                    import tempfile
+                    from slambench_tpu.utils.profiling import (
+                        device_trace_options,
+                    )
+                    xprof_dir = tempfile.mkdtemp(prefix="slambench_xprof_")
+                    xprof_frames = len(depths)
+                    jax.profiler.start_trace(
+                        xprof_dir,
+                        profiler_options=device_trace_options())
                 if gate_period == 1:
                     state, outs = kf.compute_frames_scan(
                         state, jnp.stack(depths))
@@ -205,6 +235,8 @@ def run(config: Configuration, fused: bool = False,
                         integration_rate=config.integration_rate,
                         phase=frame % gate_period)
                 t5 = _fence(state)
+                if tracing:
+                    jax.profiler.stop_trace()
                 outs = {k: np.asarray(v) for k, v in outs.items()}
                 # Render once at the chunk end (the diagnostic images show
                 # the final state; per-row rendering shares the cost).
@@ -250,6 +282,16 @@ def run(config: Configuration, fused: bool = False,
         )
 
         t1 = _fence(depth)
+        # frame > 8: all steady-state gate variants have compiled by
+        # then (see the scan-branch note on tracing through a compile).
+        tracing = xprof_mode and xprof_dir is None and frame > 8
+        if tracing:
+            import tempfile
+            from slambench_tpu.utils.profiling import device_trace_options
+            xprof_dir = tempfile.mkdtemp(prefix="slambench_xprof_")
+            xprof_frames = 1
+            jax.profiler.start_trace(
+                xprof_dir, profiler_options=device_trace_options())
         if pgkf is not None:
             state = pgkf.process_frame(state, depth, frame,
                                        config.tracking_rate,
@@ -290,6 +332,8 @@ def run(config: Configuration, fused: bool = False,
                 state = kf.raycasting(state)
             t5 = _fence(state.ref_vertex)
             timings = (t1, t2, t3, t4, t5)
+        if tracing:
+            jax.profiler.stop_trace()
 
         # Rendering (reference: benchmark.cpp:153-156).
         _ = kf.render_depth_image(state)
@@ -338,6 +382,31 @@ def run(config: Configuration, fused: bool = False,
             break
         frame += 1
         t0 = time.monotonic()
+
+    if xprof_dir is not None:
+        # Convert the captured window to the checkKernels-contract
+        # ``name ns`` stderr stream (reference: the nvprof route,
+        # Makefile:67-72 + thirdparty/nvprof2log.py). The window spans
+        # ``xprof_frames`` frames, so per-kernel counts scale with it.
+        # DEVICE lanes only: the host lanes of a CPU-backend trace are
+        # runtime internals, not kernels — emit a notice instead.
+        from slambench_tpu.eval.xprof2log import (
+            find_trace_files, kernel_events, load_trace,
+        )
+        n_lines = 0
+        for tf in find_trace_files(xprof_dir):
+            for name, ns in kernel_events(load_trace(tf),
+                                          device_only=True):
+                print(f"{name} {ns:.0f}", file=sys.stderr)
+                n_lines += 1
+        if n_lines:
+            print(f"xprof kernel attribution: {n_lines} events over "
+                  f"{xprof_frames} frames ({xprof_dir})", file=sys.stderr)
+        else:
+            print("xprof kernel attribution: no device lanes in trace "
+                  "(KERNEL_TIMINGS=xprof attributes accelerator "
+                  "dispatches; on CPU use KERNEL_TIMINGS=1 phased mode)",
+                  file=sys.stderr)
 
     if config.dump_volume_file:
         kf.dump_volume(state, config.dump_volume_file)
@@ -408,6 +477,12 @@ def main(argv=None):
     keyframes = "--keyframes" in argv
     if keyframes:
         argv.remove("--keyframes")
+    # --ba: the sparse Schur-complement bundle-adjustment backend for
+    # the keyframe layer (BASELINE config 5; implies --keyframes).
+    ba = "--ba" in argv
+    if ba:
+        argv.remove("--ba")
+        keyframes = True
     if "--debug-nans" in argv:
         # The functional-purity analogue of the reference's (absent)
         # sanitizers (SURVEY.md §5.2): fault on any NaN produced on
@@ -432,7 +507,7 @@ def main(argv=None):
     try:
         run(config, fused=fused, stats=stats,
             break_on_untracked=break_untracked, break_at_frame=break_at,
-            keyframes=keyframes, scan_chunk=scan_chunk)
+            keyframes=keyframes, ba=ba, scan_chunk=scan_chunk)
     except Exception as exc:                   # noqa: BLE001
         hint = backend_select.explain_error(exc)
         if hint:

@@ -185,6 +185,86 @@ def main(argv=None) -> int:
                lambda c, a: (c,), reps), state,
            bytes_per_call=npix * 4 * 3 * 4 * 19)
 
+    # ---- ICP-loop decomposition probes (PROFILE.md §10): in-graph,
+    # inside a fori_loop like the real while_loop, so per-op cost is the
+    # IN-GRAPH op cost, not the dispatch cost. Each probe's loop body
+    # chains on the previous iteration's output (CLAUDE.md timing
+    # methodology), so one jit call = `calls` genuine executions. ---- #
+    from slambench_tpu.ops.solve import update_pose as _update_pose
+
+    def timeit_direct(name, fn, *args_, calls, bytes_per_call=0):
+        r = fn(*args_)
+        jax.block_until_ready(r)
+        t0 = time.monotonic()
+        r = fn(*args_)
+        jax.block_until_ready(r)
+        _ = np.asarray(jax.tree_util.tree_leaves(r)[0]).reshape(-1)[:1]
+        dt = (time.monotonic() - t0) / calls
+        res[name] = {
+            "ms": round(dt * 1e3, 3),
+            "mb": round(bytes_per_call / 1e6, 1),
+            "gbps": round(bytes_per_call / dt / 1e9, 2) if dt > 0 else 0.0,
+        }
+        print(f"{name:28s} {dt*1e3:9.3f} ms   "
+              f"{bytes_per_call/1e6:8.1f} MB   "
+              f"{bytes_per_call/dt/1e9:6.2f} GB/s",
+              file=sys.stderr, flush=True)
+        return dt
+
+    # (a) the per-iteration stacked [6, h, w] ref-map gather at each
+    # pyramid population (ops/track.py issues exactly one of these per
+    # ICP iteration).
+    refs6 = jnp.concatenate([state.ref_normal.reshape(3, -1),
+                             state.ref_vertex.reshape(3, -1)], axis=0)
+    loop_reps = 16
+    for level in (0, 1, 2):
+        h, w = H >> level, W >> level
+        idx_l = jnp.asarray(
+            np.random.randint(0, npix, (h, w)).astype(np.int32))
+
+        @jax.jit
+        def loop_gather(idx, _h=h, _w=w):
+            def body(i, carry):
+                acc, ix = carry
+                g = refs6.at[:, ix].get(mode="promise_in_bounds")
+                d = (g[0].astype(jnp.int32) & 0)
+                return (acc + g[0], ix + d)
+            return jax.lax.fori_loop(
+                0, loop_reps, body,
+                (jnp.zeros((_h, _w), jnp.float32), idx))[0]
+
+        timeit_direct(f"icp_gather6_L{level}_per_iter", loop_gather,
+                      idx_l, calls=loop_reps,
+                      bytes_per_call=6 * h * w * 4)
+
+    # (b) the in-graph 6x6 solve + SE(3) retraction alone (the Jacobi
+    # eigh runs ~90 unrolled rotations per ICP iteration — is it free?).
+    @jax.jit
+    def solve_loop(pose):
+        def body(i, p):
+            red = state.reduction + p[0, 0] * 1e-20
+            p2, _ = _update_pose(p, red, kf.icp_threshold)
+            return p2
+        return jax.lax.fori_loop(0, 64, body, pose)
+
+    timeit_direct("update_pose_solve_per_iter", solve_loop,
+                  state.pose, calls=64)
+
+    # (c) one full ICP iteration (track+reduce+solve) per fori step at
+    # L0 — the while_loop body's true in-graph cost.
+    @jax.jit
+    def icp_iter_loop(pose):
+        def body(i, p):
+            red, _ = track_and_reduce(vert, norm, state.ref_vertex,
+                                      state.ref_normal, p, view)
+            p2, _ = _update_pose(p, red, kf.icp_threshold)
+            return p2
+        return jax.lax.fori_loop(0, loop_reps, body, pose)
+
+    timeit_direct("icp_full_iter_L0", icp_iter_loop,
+                  state.pose, calls=loop_reps,
+                  bytes_per_call=6 * npix * 4)
+
     # ---- integrate ---- #
     vol_bytes = V ** 3 * 3          # int16 tsdf + int8 weight
     inv_track = rigid_inverse(state.pose)
@@ -232,6 +312,20 @@ def main(argv=None) -> int:
                            lambda c, a: (c[0], c[1]), reps),
                state.tsdf, state.weight,
                bytes_per_call=vol_bytes * 2)
+
+        # Live-voxel accounting at this pose (the integrate phase's
+        # gather population for the floor analysis, PROFILE.md §10).
+        from slambench_tpu.ops.integrate import block_visibility
+        vis = np.asarray(block_visibility(
+            nz, ny, kf.volume_dimensions, inv_track, cam_k, fd, 0.1,
+            n_x=nx))
+        block_voxels = V ** 3 // (nz * ny * nx)
+        res["integrate_population"] = {
+            "live_blocks": int(vis.sum()),
+            "total_blocks": int(vis.size),
+            "live_voxels": int(vis.sum()) * block_voxels,
+            "total_voxels": V ** 3,
+        }
 
     # ---- make_min_mip ---- #
     mip_bytes = V ** 3 * 2 + (V // 8) * V * V * 2  # read vol + 1st pass out
@@ -311,6 +405,25 @@ def main(argv=None) -> int:
 
     timeit("gather_small_76800",
            _chain_loop(lambda i: gats(i), lambda c, a: (c,), reps), sidx)
+
+    # Session gather-rate calibration at the 2M population (bench.py's
+    # exact probe): the ns/elem the §10 floor analysis is priced at.
+    kc = 128
+    gidx = jnp.asarray(np.random.default_rng(0).integers(
+        0, npix, kc ** 3).astype(np.int32)).reshape(kc, kc, kc)
+
+    @jax.jit
+    def gather2m(idx):
+        def body(i, carry):
+            acc, ix = carry
+            g = small.at[ix].get(mode="promise_in_bounds")
+            d = (g.reshape(-1)[0] * 0).astype(jnp.int32)
+            return (acc + g, ix + d)
+        return jax.lax.fori_loop(
+            0, 4, body, (jnp.zeros(idx.shape, jnp.float32), idx))[0]
+
+    dt2m = timeit_direct("gather_2m_session", gather2m, gidx, calls=4)
+    res["session_gather_ns_per_elem"] = round(dt2m / kc ** 3 * 1e9, 1)
 
     # ---- device calibration (same probes as bench.py) ---- #
     x = jnp.zeros((64, 1024, 1024), jnp.float32)

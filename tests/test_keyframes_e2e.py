@@ -48,6 +48,47 @@ def test_posegraph_kfusion_end_to_end(dataset):
                                    atol=1e-4)
 
 
+def test_loop_closure_fires_and_corrects(tmp_path_factory):
+    """A trajectory that PROVABLY revisits (orbit period 22 < 44 frames;
+    io/synthetic.orbit_trajectory repeats exactly after one period) must
+    (a) create non-consecutive pose-graph edges via the snapshot-ICP
+    loop-closure path — through BOTH acceptance gates (inlier fraction
+    AND the point-plane RMS bound the tracker itself uses,
+    models/keyframes.py / ops/solve.check_pose) — and (b) reduce the
+    trajectory error on the tail, where odometry drift has accumulated.
+    Coarse 48^3 volume (10 cm voxels) makes the drift worth correcting."""
+    out = str(tmp_path_factory.mktemp("synth_lc"))
+    n, period = 44, 22
+    man = generate_dataset(out, n_frames=n, image_size=(160, 120),
+                           dim=(4.8,) * 3, amp=0.3, period=period)
+    rd = RawDepthReader(man["raw"])
+    init = [f * d for f, d in zip(man["init_pos_factor"], man["dim"])]
+    kf = KFusion((160, 120), (48,) * 3, man["dim"], init, (10, 5, 4),
+                 man["camera"])
+    slam = PoseGraphKFusion(
+        kf, KeyframeStore(trans_threshold=0.08, rot_threshold=0.08),
+        optimize_every=3)
+    state = kf.init_state()
+    for frame in range(n):
+        d = rd.read_next_depth_frame()
+        state = slam.process_frame(
+            state, jnp.asarray(np.ascontiguousarray(d)), frame)
+
+    n_loops = sum(1 for (i, j, _T, _w) in slam.graph.edges
+                  if abs(i - j) > 1)
+    assert n_loops >= 1, "revisiting orbit produced no loop closures"
+
+    raw = np.stack(slam._trajectory)
+    corr = slam.corrected_trajectory()
+    gt = man["poses"][:n, :3, 3]
+    tail = slice(n // 2, n)
+    e_raw = np.linalg.norm(raw[:, :3, 3] - gt, axis=1)[tail].mean()
+    e_corr = np.linalg.norm(corr[:, :3, 3] - gt, axis=1)[tail].mean()
+    # Measured on this scene: 0.049 -> 0.038 m (a 23% tail improvement);
+    # the assertion only requires strict improvement.
+    assert e_corr < e_raw, (e_corr, e_raw)
+
+
 def test_frontend_keyframes_flag(dataset, tmp_path):
     """--keyframes CLI route: pose-graph backend drives the frame loop
     and exports raw + corrected TUM trajectories next to the log."""
