@@ -290,12 +290,14 @@ def main():
         # profiles/r3_gather_probe.json). Makes rounds comparable when
         # the shared endpoint's delivered rate drifts; no claim is made
         # about real-v5e gather rates (unmeasured from here).
-        # LINEARITY ASSUMPTION (stated): the scaling treats 100% of
-        # frame time as priced by the serial gather rate. The per-phase
-        # audit (PROFILE.md §10) measures the gather-attributed fraction
-        # at ~90% of the fused frame, so the linear form overstates the
-        # correction by <~10% on slow-endpoint days — smaller than the
-        # endpoint's own run-to-run variance (CLAUDE.md).
+        # LINEARITY CAVEAT (PROFILE.md §10.4): the scaling treats frame
+        # time as linear in the PROBE's gather rate, but the round-5
+        # audit found in-frame cost STABLE across sessions whose probe
+        # rates varied 33->91.5 ns/elem — the probe largely measures
+        # tunnel dispatch congestion, not the in-frame rate. So this
+        # number OVERSTATES the correction on bad-probe days; the raw
+        # `value`/`vs_baseline` is the honest stable headline, and this
+        # field is kept only for cross-round comparability.
         "vs_baseline_normalized": round(
             fps * (gather_ns / GATHER_NS_CANON) / BASELINE_FPS, 3),
     }

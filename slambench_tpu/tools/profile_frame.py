@@ -237,6 +237,16 @@ def main(argv=None) -> int:
                       idx_l, calls=loop_reps,
                       bytes_per_call=6 * h * w * 4)
 
+    # (a2) the tracking phase MINUS the ICP loops: a zero-iteration
+    # pyramid budget leaves pyramid build + vertex/normal + check_pose —
+    # the prep component of the §10 floor decomposition.
+    kf0 = KFusion((W, H), (V,) * 3, kf.volume_dimensions, init,
+                  (0, 0, 0), camera, mu=0.1)
+    track_prep = jax.jit(kf0._tracking)
+    timeit("tracking_prep_only",
+           _chain_loop(lambda s: track_prep(s), lambda c, a: (c,), reps),
+           state, bytes_per_call=npix * 4 * 3 * 4)
+
     # (b) the in-graph 6x6 solve + SE(3) retraction alone (the Jacobi
     # eigh runs ~90 unrolled rotations per ICP iteration — is it free?).
     @jax.jit
@@ -424,6 +434,19 @@ def main(argv=None) -> int:
 
     dt2m = timeit_direct("gather_2m_session", gather2m, gidx, calls=4)
     res["session_gather_ns_per_elem"] = round(dt2m / kc ** 3 * 1e9, 1)
+
+    # COHERENT variant at the same population: neighbouring lookups hit
+    # neighbouring table entries — the access pattern integrate's
+    # per-voxel depth lookup actually has (adjacent voxels project to
+    # adjacent pixels). The random/coherent ratio explains the gap
+    # between this probe and the in-frame integrate rate (§10).
+    ci2 = np.minimum((np.arange(kc ** 3, dtype=np.int64) * npix)
+                     // kc ** 3 + np.arange(kc ** 3) % 7,
+                     npix - 1).astype(np.int32)
+    cidx2 = jnp.asarray(ci2.reshape(kc, kc, kc))
+    dt2mc = timeit_direct("gather_2m_coherent", gather2m, cidx2, calls=4)
+    res["session_gather_coherent_ns_per_elem"] = round(
+        dt2mc / kc ** 3 * 1e9, 1)
 
     # ---- device calibration (same probes as bench.py) ---- #
     x = jnp.zeros((64, 1024, 1024), jnp.float32)
