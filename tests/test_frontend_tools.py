@@ -225,3 +225,37 @@ def test_xprof2log_falls_back_without_device_metadata(tmp_path):
     p.write_text(json.dumps(trace))
     out = io.StringIO()
     assert xprof2log.convert(str(p), out=out) == 1
+
+
+def test_kernel_timings_xprof_route(tmp_path, capsys):
+    """KERNEL_TIMINGS=xprof on the fused tier: a trace window is
+    captured mid-run and converted to the checkKernels stderr contract.
+    On the CPU backend there are no device lanes, so the route must
+    emit its explanatory notice instead of a megaline host dump
+    (reference contract: the nvprof route, Makefile:67-72)."""
+    from slambench_tpu.config import Configuration
+    from slambench_tpu.frontend import benchmark as fb
+    from slambench_tpu.io.synthetic import generate_dataset
+
+    man = generate_dataset(str(tmp_path / "d"), n_frames=12,
+                           image_size=(160, 120), dim=(4.8,) * 3,
+                           amp=0.15)
+    cfg = Configuration()
+    cfg.input_file = man["raw"]
+    cfg.log_file = str(tmp_path / "x.log")
+    cfg.volume_resolution = (32, 32, 32)
+    cfg.volume_size = man["dim"]
+    cfg.initial_pos_factor = man["init_pos_factor"]
+    cfg.camera = man["camera"]
+    cfg.camera_overrided = True
+    cfg.pyramid = (3, 2, 2)
+    os.environ["KERNEL_TIMINGS"] = "xprof"
+    try:
+        summary = fb.run(cfg, fused=True, max_frames=12, quiet=True)
+    finally:
+        del os.environ["KERNEL_TIMINGS"]
+    assert summary["frames"] == 12
+    err = capsys.readouterr().err
+    assert "xprof kernel attribution" in err
+    # CPU backend: the no-device-lanes notice, not a host-event dump.
+    assert "no device lanes" in err

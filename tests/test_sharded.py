@@ -181,12 +181,18 @@ def test_slab_raycast_matches_single_device():
 
 
 def test_graft_entry_single_chip():
+    """Full lower + XLA compile + one executed step of the flagship
+    entry (256^3 fused frame) — not just abstract eval (~20 s on CPU;
+    VERDICT r4 weak #7)."""
     import sys
     sys.path.insert(0, "/root/repo")
+    import numpy as np
     import __graft_entry__ as ge
     fn, (state, depth) = ge.entry()
-    # Compile-check only at tiny cost: trace with abstract eval.
-    jax.eval_shape(fn, state, depth)
+    out = jax.jit(fn)(state, depth)
+    jax.block_until_ready(out)
+    assert out.tsdf.shape == state.tsdf.shape
+    assert np.isfinite(np.asarray(out.pose)).all()
 
 
 def test_graft_dryrun_multichip():
