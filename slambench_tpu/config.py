@@ -156,6 +156,8 @@ class Configuration:
             "--mesh <axis:n>                  : shard the TSDF over an n-device mesh (TPU extension)",
             "--backend <jnp|fast|pallas|auto> : compute-kernel backend (TPU extension)",
             "--motion-model <none|cv>        : ICP warm start (TPU extension; cv = constant velocity)",
+            "--fused / --scan-chunk <n>       : one-dispatch frame / scan-batched steady state (frontend flags)",
+            "--keyframes [--ba]               : keyframe pose-graph backend; --ba = sparse Schur BA optimizer (frontend flags)",
         ]
         for line in lines:
             print(line, file=out)
