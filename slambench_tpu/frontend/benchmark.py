@@ -147,6 +147,23 @@ def run(config: Configuration, fused: bool = False,
         timed_runner = TimedRunner(kf)
     xprof_dir = None
     xprof_frames = 0
+    # Dispatch signatures already executed in this process. A trace may
+    # only wrap a dispatch whose exact signature (path + static shapes/
+    # args) has run before: tracing a first-time dispatch spans its XLA
+    # compile, and a trace started around a compile drops ALL device
+    # events of the execution that follows (measured on the axon
+    # endpoint — CLAUDE.md). This also covers resumed runs (start_frame
+    # large) and tail chunks whose length differs from scan_chunk.
+    seen_dispatch_sigs: set = set()
+
+    def _start_xprof_trace(n_frames: int):
+        import tempfile
+        from slambench_tpu.utils.profiling import device_trace_options
+        nonlocal xprof_dir, xprof_frames
+        xprof_dir = tempfile.mkdtemp(prefix="slambench_xprof_")
+        xprof_frames = n_frames
+        jax.profiler.start_trace(
+            xprof_dir, profiler_options=device_trace_options())
 
     print(HEADER, file=logstream)
 
@@ -172,6 +189,26 @@ def run(config: Configuration, fused: bool = False,
                and timed_runner is None and pgkf is None
                and not stats
                and not break_on_untracked and break_at_frame is None)
+    if scan_chunk > 1 and not scan_ok:
+        # The fallback must be loud: the per-frame tier has a different
+        # dispatch cost profile (per-frame host round-trip), so a quiet
+        # downgrade would misattribute benchmark numbers.
+        reasons = []
+        if gate_period > scan_chunk:
+            reasons.append(f"gate period {gate_period} > chunk")
+        if not (fused or config.mesh):
+            reasons.append("requires --fused or --mesh")
+        if timed_runner is not None:
+            reasons.append("KERNEL_TIMINGS phased mode")
+        if pgkf is not None:
+            reasons.append("--keyframes")
+        if stats:
+            reasons.append("--stats")
+        if break_on_untracked or break_at_frame is not None:
+            reasons.append("breakpoint flags")
+        print(f"--scan-chunk {scan_chunk} disabled "
+              f"({', '.join(reasons)}); running per-frame dispatch",
+              file=sys.stderr)
     pending: list = []
 
     frame = start_frame
@@ -207,22 +244,16 @@ def run(config: Configuration, fused: bool = False,
             else:
                 pos_before = kf.get_position(state)
                 t1 = _fence(depths[-1])
-                # Trace the SECOND chunk: the first one compiles, and a
-                # trace spanning the compile drops the device events of
-                # the execution that follows it (measured on the axon
-                # endpoint).
+                # ``phase`` is a static argname of the rated scan and the
+                # chunk length sets the stacked depth shape, so both are
+                # part of the compile signature.
+                sig = ("scan", len(depths), gate_period,
+                       frame % gate_period)
                 tracing = (xprof_mode and xprof_dir is None
-                           and frame > 3 + scan_chunk)
+                           and sig in seen_dispatch_sigs)
                 if tracing:
-                    import tempfile
-                    from slambench_tpu.utils.profiling import (
-                        device_trace_options,
-                    )
-                    xprof_dir = tempfile.mkdtemp(prefix="slambench_xprof_")
-                    xprof_frames = len(depths)
-                    jax.profiler.start_trace(
-                        xprof_dir,
-                        profiler_options=device_trace_options())
+                    _start_xprof_trace(len(depths))
+                seen_dispatch_sigs.add(sig)
                 if gate_period == 1:
                     state, outs = kf.compute_frames_scan(
                         state, jnp.stack(depths))
@@ -282,16 +313,16 @@ def run(config: Configuration, fused: bool = False,
         )
 
         t1 = _fence(depth)
-        # frame > 8: all steady-state gate variants have compiled by
-        # then (see the scan-branch note on tracing through a compile).
-        tracing = xprof_mode and xprof_dir is None and frame > 8
+        path_tag = ("pgkf" if pgkf is not None else
+                    "mesh" if config.mesh else
+                    "timed" if timed_runner is not None else
+                    "fused" if fused else "phased")
+        sig = ("frame", path_tag, tuple(sorted(gates.items())))
+        tracing = (xprof_mode and xprof_dir is None
+                   and sig in seen_dispatch_sigs)
         if tracing:
-            import tempfile
-            from slambench_tpu.utils.profiling import device_trace_options
-            xprof_dir = tempfile.mkdtemp(prefix="slambench_xprof_")
-            xprof_frames = 1
-            jax.profiler.start_trace(
-                xprof_dir, profiler_options=device_trace_options())
+            _start_xprof_trace(1)
+        seen_dispatch_sigs.add(sig)
         if pgkf is not None:
             state = pgkf.process_frame(state, depth, frame,
                                        config.tracking_rate,
@@ -383,6 +414,12 @@ def run(config: Configuration, fused: bool = False,
         frame += 1
         t0 = time.monotonic()
 
+    if xprof_mode and xprof_dir is None:
+        print("xprof kernel attribution: no dispatch was traced — a "
+              "trace only wraps a repeat of an already-compiled "
+              "dispatch shape (tracing through a compile drops device "
+              "events); run more frames past the bootstrap/first chunk",
+              file=sys.stderr)
     if xprof_dir is not None:
         # Convert the captured window to the checkKernels-contract
         # ``name ns`` stderr stream (reference: the nvprof route,

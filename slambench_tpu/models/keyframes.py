@@ -293,12 +293,32 @@ class PoseGraphKFusion:
             return
         _odo_poses, lms0, cam, lm, z, w = prob
         poses0 = np.stack(self.graph.poses).astype(np.float32)
+        # Pad cameras and landmarks to power-of-two tiers too — the K
+        # padding in build_ba_problem only buys jit reuse if N and M are
+        # also stable across calls (every keyframe promotion grows both).
+        # Padded cameras are identity poses and padded landmarks zeros;
+        # no observation references them, so under per-block damping
+        # their gradient is zero and their update exactly zero — inert.
+        n_real, m_real = poses0.shape[0], lms0.shape[0]
+
+        def _cap(x: int, lo: int = 8) -> int:
+            c = lo
+            while c < x:
+                c *= 2
+            return c
+
+        poses_p = np.concatenate(
+            [poses0, np.tile(np.eye(4, dtype=np.float32),
+                             (_cap(n_real) - n_real, 1, 1))])
+        lms_p = np.concatenate(
+            [lms0, np.zeros((_cap(m_real) - m_real, 3), np.float32)])
+        # n_cg pinned so the CG depth does not vary with the padding tier.
         out_p, _out_l, _r2 = bundle_adjust(
-            jnp.asarray(poses0), jnp.asarray(lms0), jnp.asarray(cam),
+            jnp.asarray(poses_p), jnp.asarray(lms_p), jnp.asarray(cam),
             jnp.asarray(lm), jnp.asarray(z), jnp.asarray(w),
-            n_iters=4, damping=1e-4)
+            n_iters=4, damping=1e-4, n_cg=64)
         out_p = np.asarray(out_p)
-        self.graph.poses = [out_p[k] for k in range(len(out_p))]
+        self.graph.poses = [out_p[k] for k in range(n_real)]
 
     def corrected_trajectory(self) -> np.ndarray:
         """Per-frame poses with pose-graph corrections propagated from

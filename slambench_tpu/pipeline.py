@@ -266,9 +266,16 @@ class KFusion:
             pyr.append(half_sample_robust(pyr[-1], params.E_DELTA * 3, 1))
         return pyr
 
-    def _tracking(self, state: KFusionState) -> KFusionState:
+    def _tracking(self, state: KFusionState, *,
+                  with_census: bool = False):
         """Pyramid build + per-level vertex/normal + coarse-to-fine ICP
-        (reference: cpp/kernels.cpp:924-971)."""
+        (reference: cpp/kernels.cpp:924-971).
+
+        ``with_census=True`` additionally returns the per-level executed
+        ICP iteration counts and convergence flags (coarsest-first
+        ``int32[levels]`` / ``bool[levels]``) — the measurement surface
+        of ``tools/icp_census`` (PROFILE.md §10.1), served by this one
+        implementation so the census can never drift from the pipeline."""
         pyr = self._build_pyramid(state.scaled_depth0)
         verts, norms = [], []
         for i in range(self._levels):
@@ -287,6 +294,7 @@ class KFusion:
             pose = state.pose
         reduction = state.reduction
         track_result = state.track_result
+        counts, convs = [], []
 
         for level in reversed(range(self._levels)):
             h = self.H >> level
@@ -308,15 +316,20 @@ class KFusion:
 
             init = (jnp.int32(0), pose, reduction,
                     jnp.zeros((h, w), jnp.int32), jnp.asarray(False))
-            _, pose, reduction, level_result, _ = jax.lax.while_loop(
+            n_it, pose, reduction, level_result, conv = jax.lax.while_loop(
                 cond, body, init)
+            counts.append(n_it)
+            convs.append(conv)
             if level == 0:
                 track_result = level_result
 
         pose, tracked = check_pose(pose, old_pose, reduction, (self.H, self.W))
-        return dataclasses.replace(
+        new_state = dataclasses.replace(
             state, pose=pose, old_pose=old_pose, reduction=reduction,
             track_result=track_result, tracked=tracked)
+        if with_census:
+            return new_state, jnp.stack(counts), jnp.stack(convs)
+        return new_state
 
     def _integration(self, state: KFusionState, *,
                      integrate_frame: bool,

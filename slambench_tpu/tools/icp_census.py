@@ -8,8 +8,9 @@ on ``|x| < icp_threshold`` (ops/solve.update_pose, reference cpp:770-771
 floor on a gather-bound endpoint (PROFILE.md §2-§3) — is set by the
 iterations that actually RUN: each iteration issues ONE stacked gather of
 6 x (H>>l)(W>>l) reference-map channels (ops/track.py). This tool runs
-the bench scene through the exact tracking logic with per-level
-iteration counters and reports:
+the bench scene through ``pipeline.KFusion._tracking(with_census=True)``
+— the pipeline's own tracking implementation, which exposes the
+while_loop's executed-iteration counts — and reports:
 
 * per-frame (coarsest..finest) executed-iteration counts,
 * budget-exhaustion rate per level (early exit never fired),
@@ -38,7 +39,9 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--volume", type=int, default=256)
-    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--frames", type=int, default=24,
+                    help="frames to run; steady state (frame > 3) is "
+                         "what the census reports, so must be >= 5")
     ap.add_argument("--dataset", default="/tmp/slambench_tpu_bench")
     ap.add_argument("--gather-ns", type=float, default=33.0,
                     help="gather rate (ns/elem) for the floor estimate "
@@ -47,28 +50,40 @@ def main(argv=None) -> int:
                     choices=("none", "cv"))
     ap.add_argument("--json", default="")
     args = ap.parse_args(argv)
+    if args.frames < 5:
+        ap.error("--frames must be >= 5 (frames 0-3 are bootstrap; the "
+                 "census reports steady-state frames only)")
 
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from slambench_tpu.geometry import (
-        get_camera_matrix, get_inverse_camera_matrix, mat4mul,
-        rigid_inverse,
-    )
     from slambench_tpu.io.readers import RawDepthReader
     from slambench_tpu.io.synthetic import generate_dataset
-    from slambench_tpu.ops.solve import check_pose, update_pose
-    from slambench_tpu.ops.track import track_and_reduce
-    from slambench_tpu.ops.vertex import depth2vertex, vertex2normal
-    from slambench_tpu.pipeline import KFusion, cv_predict
-    import dataclasses
+    from slambench_tpu.pipeline import KFusion
 
     raw = osp.join(args.dataset, "synth.raw")
-    if not osp.exists(raw):
+
+    def read_all(need: int):
+        if not osp.exists(raw):
+            return []
+        rd = RawDepthReader(raw)
+        out = []
+        for _ in range(need):
+            d = rd.read_next_depth_frame()
+            if d is None:
+                break
+            out.append(np.ascontiguousarray(d))
+        return out
+
+    # Regenerate when missing OR stale-short (a previous run may have
+    # written fewer frames to the same shared path).
+    depths = read_all(args.frames)
+    if len(depths) < args.frames:
         generate_dataset(args.dataset, n_frames=max(args.frames, 8),
                          image_size=(640, 480), dim=(4.8,) * 3,
                          amp=0.25, period=60)
+        depths = read_all(args.frames)
 
     W, H = 320, 240
     camera = tuple(c / 2 for c in (481.2, 480.0, 320.0, 240.0))
@@ -76,83 +91,29 @@ def main(argv=None) -> int:
     kf = KFusion((W, H), (args.volume,) * 3, (4.8,) * 3, init,
                  (10, 5, 4), camera, mu=0.1, backend="fast",
                  motion_model=args.motion_model)
-
     levels = kf._levels
-    k_arr = kf._k
 
-    def counted_tracking(state):
-        """pipeline._tracking with the while_loop's final ``i`` (executed
-        iterations) and convergence flag captured per level."""
-        pyr = kf._build_pyramid(state.scaled_depth0)
-        verts, norms = [], []
-        for i in range(levels):
-            inv_k = get_inverse_camera_matrix(k_arr / float(1 << i))
-            v = depth2vertex(pyr[i], inv_k)
-            verts.append(v)
-            norms.append(vertex2normal(v))
+    counted_tracking = jax.jit(
+        lambda s: kf._tracking(s, with_census=True))
 
-        old_pose = state.pose
-        view = mat4mul(get_camera_matrix(k_arr),
-                       rigid_inverse(state.raycast_pose))
-        if kf.motion_model == "cv":
-            pose = cv_predict(state.pose, state.old_pose)
-        else:
-            pose = state.pose
-        reduction = state.reduction
-        track_result = state.track_result
-        counts, convs = [], []
-
-        for level in reversed(range(levels)):
-            h, w = H >> level, W >> level
-            max_iters = kf.iterations[level]
-
-            def body(carry, _level=level):
-                i, pose_c, _red, _res, _conv = carry
-                red, data = track_and_reduce(
-                    verts[_level], norms[_level],
-                    state.ref_vertex, state.ref_normal, pose_c, view)
-                new_pose, conv = update_pose(pose_c, red, kf.icp_threshold)
-                return (i + 1, new_pose, red, data["result"], conv)
-
-            def cond(carry, _max=max_iters):
-                i, _p, _r, _res, conv = carry
-                return (i < _max) & ~conv
-
-            init_c = (jnp.int32(0), pose, reduction,
-                      jnp.zeros((h, w), jnp.int32), jnp.asarray(False))
-            n_it, pose, reduction, level_result, conv = jax.lax.while_loop(
-                cond, body, init_c)
-            counts.append(n_it)
-            convs.append(conv)
-            if level == 0:
-                track_result = level_result
-
-        pose, tracked = check_pose(pose, old_pose, reduction, (H, W))
-        new_state = dataclasses.replace(
-            state, pose=pose, old_pose=old_pose, reduction=reduction,
-            track_result=track_result, tracked=tracked)
-        return new_state, jnp.stack(counts), jnp.stack(convs)
-
-    counted_tracking = jax.jit(counted_tracking)
-
-    rd = RawDepthReader(raw)
     state = kf.init_state()
     rows = []
-    for frame in range(args.frames):
-        d = rd.read_next_depth_frame()
-        if d is None:
-            break
-        depth = jnp.asarray(np.ascontiguousarray(d))
+    for frame, d in enumerate(depths):
+        depth = jnp.asarray(d)
         state = kf.preprocessing(state, depth)
-        if frame % 1 == 0:        # tracking_rate 1 (canonical bench)
-            state, counts, convs = counted_tracking(state)
-            if frame > 3:         # steady state only (post-bootstrap)
-                rows.append((frame, np.asarray(counts),
-                             np.asarray(convs)))
+        # tracking_rate 1 (canonical bench schedule).
+        state, counts, convs = counted_tracking(state)
+        if frame > 3:             # steady state only (post-bootstrap)
+            rows.append((frame, np.asarray(counts), np.asarray(convs)))
         state = kf.integration(state, integrate_frame=True,
                                force_integrate=(frame <= 3))
         if frame > 2:
             state = kf.raycasting(state)
+
+    if not rows:
+        print(f"no steady-state frames ran (dataset at {raw} yielded "
+              f"{len(depths)} frames; need > 4)", file=sys.stderr)
+        return 1
 
     budgets = list(reversed(kf.iterations))       # coarsest-first
     level_names = [f"L{levels - 1 - i}" for i in range(levels)]

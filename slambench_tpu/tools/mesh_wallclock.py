@@ -45,12 +45,30 @@ def _child(n: int, volume: int, frames: int) -> None:
     from slambench_tpu.parallel.mesh import make_mesh
     from slambench_tpu.parallel.step import ShardedKFusion
 
-    ds = f"/tmp/slambench_mesh_wallclock"
+    ds = "/tmp/slambench_mesh_wallclock"
     raw = os.path.join(ds, "synth.raw")
-    if not os.path.exists(raw):
+    need = frames + 5
+
+    def read_all():
+        if not os.path.exists(raw):
+            return []
+        rd = RawDepthReader(raw)
+        out = []
+        for _ in range(need):
+            d = rd.read_next_depth_frame()
+            if d is None:
+                break
+            out.append(np.ascontiguousarray(d))
+        return out
+
+    # Regenerate when missing OR stale-short (the path is shared across
+    # runs; a previous --frames value may have written fewer frames).
+    raw_depths = read_all()
+    if len(raw_depths) < need:
         generate_dataset(ds, n_frames=max(frames + 6, 12),
                          image_size=(160, 120), dim=(4.8,) * 3,
                          amp=0.25, period=60)
+        raw_depths = read_all()
     W, H = 160, 120
     camera = tuple(c / 4 for c in (481.2, 480.0, 320.0, 240.0))
     init = (0.34 * 4.8, 0.5 * 4.8, 0.24 * 4.8)
@@ -58,11 +76,7 @@ def _child(n: int, volume: int, frames: int) -> None:
                         (10, 5, 4), camera, mu=0.1,
                         mesh=make_mesh(n))
     state = kf.init_state()
-    rd = RawDepthReader(raw)
-    depths = []
-    for i in range(frames + 5):
-        d = rd.read_next_depth_frame()
-        depths.append(jnp.asarray(np.ascontiguousarray(d)))
+    depths = [jnp.asarray(d) for d in raw_depths]
     # Bootstrap per-frame (gates), then the timed scan dispatch.
     for f in range(5):
         state = kf._sharded_step(

@@ -99,7 +99,15 @@ class PowerMonitor:
                             rail = open(label_file).read().strip()
                         except OSError:
                             pass
-                    self._hwmon[f"{chip_name}_{rail}"] = node
+                    # Disambiguate colliding keys (two chips with the
+                    # same name, or two rails sharing a label on one
+                    # chip) — a dict overwrite would silently drop a
+                    # rail from every sample and under-report energy.
+                    key = f"{chip_name}_{rail}"
+                    if key in self._hwmon:
+                        key = f"{key}_{os.path.basename(chip)}_" \
+                              f"{os.path.basename(node)[:-len('_input')]}"
+                    self._hwmon[key] = node
 
         if self._odroid:
             self.sensor = SensorType.ODROID

@@ -66,6 +66,36 @@ def test_ba_padding_inert(rng):
     np.testing.assert_allclose(np.asarray(a_l), np.asarray(b_l), atol=1e-5)
 
 
+def test_ba_camera_landmark_padding_inert(rng):
+    """Identity-pose camera / zero landmark padding (the keyframes
+    backend's N/M power-of-two capacity tiers, models/keyframes.py
+    _optimize_ba) must not move the real solution: padded blocks have
+    no observations, so under per-block damping their update is exactly
+    zero and the Schur system is block-diagonal across the split."""
+    gt_p, gt_l, p0, l0, cam, lm, z, w = _problem(rng, n_cams=4, n_lms=12)
+    p0_pad = np.concatenate(
+        [p0, np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))])
+    l0_pad = np.concatenate([l0, np.zeros((4, 3), np.float32)])
+    a_p, a_l, _ = bundle_adjust(jnp.asarray(p0), jnp.asarray(l0),
+                                jnp.asarray(cam), jnp.asarray(lm),
+                                jnp.asarray(z), jnp.asarray(w),
+                                n_iters=4, n_cg=24)
+    b_p, b_l, _ = bundle_adjust(jnp.asarray(p0_pad), jnp.asarray(l0_pad),
+                                jnp.asarray(cam), jnp.asarray(lm),
+                                jnp.asarray(z), jnp.asarray(w),
+                                n_iters=4, n_cg=24)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(b_p)[:4],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_l), np.asarray(b_l)[:12],
+                               atol=1e-5)
+    # Padded entries stay exactly where they started.
+    np.testing.assert_array_equal(np.asarray(b_p)[4:],
+                                  np.tile(np.eye(4, dtype=np.float32),
+                                          (4, 1, 1)))
+    np.testing.assert_array_equal(np.asarray(b_l)[12:],
+                                  np.zeros((4, 3), np.float32))
+
+
 def test_ba_sharded_matches_single(rng):
     """Observation-sharded BA over an 8-device mesh: one psum assembles
     the normal equations; result must match the single-device solve."""
