@@ -318,7 +318,11 @@ def run(config: Configuration, fused: bool = False,
                     "timed" if timed_runner is not None else
                     "fused" if fused else "phased")
         sig = ("frame", path_tag, tuple(sorted(gates.items())))
-        tracing = (xprof_mode and xprof_dir is None
+        # frame > 3: never trace a bootstrap frame (forced integrate, no
+        # raycast before frame 3 — an unrepresentative window; and in
+        # scan runs the bootstrap's repeating per-frame sigs would
+        # otherwise claim the trace before the first steady chunk).
+        tracing = (xprof_mode and xprof_dir is None and frame > 3
                    and sig in seen_dispatch_sigs)
         if tracing:
             _start_xprof_trace(1)
