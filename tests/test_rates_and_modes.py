@@ -98,3 +98,29 @@ def test_blocking_read_paces(tmp_path):
     elapsed = time.monotonic() - t0
     # 8 frames at 50 fps >= ~120 ms of pacing (loose lower bound).
     assert elapsed >= 0.08, elapsed
+
+
+def test_scan_chunk_fallback_is_loud(dataset, capsys):
+    """--scan-chunk combined with per-frame-observation flags (--stats,
+    breakpoints) falls back to per-frame dispatch — and must SAY so on
+    stderr, because the two tiers have different dispatch cost profiles
+    and a silent downgrade would misattribute benchmark numbers
+    (frontend/benchmark.py scan_ok)."""
+    from slambench_tpu.config import Configuration
+    from slambench_tpu.frontend import benchmark as fb
+
+    man = dataset
+    cfg = Configuration()
+    cfg.input_file = man["raw"]
+    cfg.log_file = "/dev/null"
+    cfg.volume_resolution = (32, 32, 32)
+    cfg.volume_size = man["dim"]
+    cfg.initial_pos_factor = man["init_pos_factor"]
+    cfg.camera = man["camera"]
+    cfg.camera_overrided = True
+    cfg.pyramid = (3, 2, 2)
+    fb.run(cfg, fused=True, scan_chunk=8, break_at_frame=5,
+           max_frames=6, quiet=True)
+    err = capsys.readouterr().err
+    assert "--scan-chunk 8 disabled" in err
+    assert "breakpoint flags" in err
