@@ -23,16 +23,27 @@ DATA   ?= datasets
 synth0_PARS = -s 5.0 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
 synth1_PARS = -s 5.0 -p 0.485,0.5,0.55 -z 4 -c 2 -r 2 -k 481.2,480,320,240
 synth2_PARS = -s 4.8 -p 0.34,0.5,0.24 -z 4 -c 2 -r 2 -k 481.2,480,320,240
-synth3_PARS = -s 5.0 -p 0.2685,0.5,0.4 -z 4 -c 2 -r 2 -k 481.2,480,320,240
+# synth3 (the fast/aggressive clip) carries the constant-velocity ICP
+# warm start (TPU extension): at 256^3 the plain tracker silently
+# drifts on this clip (ATE mean 0.505 m, tracked throughout); the cv
+# prediction recenters each frame into the convergence basin — 0.077 m
+# via the production phased/fused paths, 0.208 m via this rule's
+# KERNEL_TIMINGS=1 per-kernel diagnostic route (different jit fusion
+# boundaries reorder FP on a chaos-amplifying clip; both measured
+# 2026-08-21 on the chip).
+synth3_PARS = -s 5.0 -p 0.2685,0.5,0.4 -z 4 -c 2 -r 2 \
+              -k 481.2,480,320,240 --motion-model cv
 
 # Trajectory-shape parameters consumed by the dataset rule; the
-# init_pos_factor matches each row's -p. Measured ATE means (64^3
-# probe config; 256^3 is ~5x tighter on the easy rows): synth0/synth2
-# ~0.02 m (the accuracy gate), synth3 (fast clip) ~0.06 m, synth1
-# ~0.11 m — the room-centre start faces only the back half of the
-# scene, a weakly-constrained view that makes it this table's hard
-# row, the role the reference's traj3 plays there (its published
-# bound is mean 0.117 m, reference: README.md:380).
+# init_pos_factor matches each row's -p. Measured ATE means at the
+# table config (256^3, csr 2, -r 2, real chip, 2026-08-21):
+# synth0 0.0294 m, synth2 0.0285 m (both inside the reference's traj2
+# ATE-mean bound 0.02-0.03 m band, reference: README.md:374-380),
+# synth1 0.0659 m — the room-centre start faces only the back half of
+# the scene, a weakly-constrained view that makes it a hard row —
+# and synth3 0.0774 m with the cv warm start above (the role of the
+# reference's hardest trajectory, whose published bound is mean
+# 0.117 m, reference: README.md:380).
 synth1_GEN = init_pos_factor=(0.485,0.5,0.55), amp=0.18, period=60
 synth3_GEN = init_pos_factor=(0.2685,0.5,0.4), amp=0.4, period=40
 DEFAULT_GEN = amp=0.25, period=60

@@ -41,7 +41,7 @@ from slambench_tpu.ops.raycast_fast import (
 from slambench_tpu.ops.solve import check_pose, update_pose
 from slambench_tpu.ops.track import reduce_track, track
 from slambench_tpu.ops.vertex import depth2vertex, vertex2normal
-from slambench_tpu.pipeline import KFusion, KFusionState
+from slambench_tpu.pipeline import KFusion, KFusionState, cv_predict
 from slambench_tpu.utils.timers import KernelTimer
 
 
@@ -98,6 +98,7 @@ class TimedRunner:
             lambda prev_t, rc_pose, pose: warm_start_bound(
                 prev_t, mat4mul(rigid_inverse(rc_pose), pose),
                 params.FAR_PLANE, 0.75 * kf.mu))
+        self._cv = jax.jit(cv_predict)
 
     def _timed(self, name: str, size: int, fn, *args):
         with KernelTimer(name, size, stream=self.stream,
@@ -139,7 +140,14 @@ class TimedRunner:
             old_pose = state.pose
             view = mat4mul(get_camera_matrix(kf._k),
                            rigid_inverse(state.raycast_pose))
-            pose = state.pose
+            # ICP initial pose: the same motion-model contract as
+            # pipeline._tracking — without this, --motion-model cv was
+            # silently a no-op under KERNEL_TIMINGS=1 (measured: synth3
+            # fast clip drifts to 0.505 m ATE vs 0.077 m with cv).
+            if kf.motion_model == "cv":
+                pose = self._cv(state.pose, state.old_pose)
+            else:
+                pose = state.pose
             red = state.reduction
             track_result = state.track_result
             for level in reversed(range(levels)):
